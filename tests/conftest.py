@@ -1,0 +1,17 @@
+"""Test configuration: force a virtual 8-device CPU platform.
+
+Multi-chip sharding is validated on a host-platform mesh (the standard JAX
+trick), mirroring how the reference's behavior would be validated without a
+GPU farm. These env vars must be set before jax initializes its backends,
+hence they live at conftest import time.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep compilation deterministic-ish and quick on CPU.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
