@@ -1,0 +1,77 @@
+"""Model registry — the TPU rebuild of ``define_G`` (models/networks.py:130-168).
+
+Keys match the reference's ``--net_G`` flags 1:1 so existing run recipes
+(scripts/run_cd.sh) port unchanged. Each entry returns an un-initialized
+flax module; initialize with ``model.init(key, a, b)`` on NHWC inputs.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax.numpy as jnp
+
+from dahitra_tpu.models.bit import BIT
+from dahitra_tpu.models.dahitra import DAHiTraUNet
+from dahitra_tpu.models.resnet_cd import ResNetCD
+
+_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+@register("base_resnet18")
+def _base_resnet18(dtype=jnp.float32, **kw):
+    return ResNetCD(output_nc=2, dtype=dtype)
+
+
+@register("base_transformer_pos_s4")
+def _bit_s4(dtype=jnp.float32, **kw):
+    return BIT(output_nc=2, token_len=4, resnet_stages_num=4, dtype=dtype)
+
+
+@register("base_transformer_pos_s4_dd8")
+def _bit_s4_dd8(dtype=jnp.float32, **kw):
+    return BIT(output_nc=2, token_len=4, resnet_stages_num=4,
+               enc_depth=1, dec_depth=8, dtype=dtype)
+
+
+@register("base_transformer_pos_s4_dd8_o5")
+def _bit_s4_dd8_o5(dtype=jnp.float32, **kw):
+    return BIT(output_nc=5, token_len=4, resnet_stages_num=4,
+               enc_depth=1, dec_depth=8, dtype=dtype)
+
+
+@register("base_transformer_pos_s4_dd8_dedim8")
+def _bit_s4_dd8_dedim8(dtype=jnp.float32, **kw):
+    return BIT(output_nc=2, token_len=4, resnet_stages_num=4,
+               enc_depth=1, dec_depth=8, decoder_dim_head=8, dtype=dtype)
+
+
+@register("base_transformer_pos_s4_dd8_t8_e2d4")
+def _bit_t8_e2d4(dtype=jnp.float32, **kw):
+    return BIT(output_nc=2, token_len=8, resnet_stages_num=4,
+               enc_depth=2, dec_depth=4, decoder_dim_head=8, dtype=dtype)
+
+
+@register("newUNetTrans")
+def _dahitra(dtype=jnp.float32, img_size: int = 256, output_nc: int = 2, **kw):
+    return DAHiTraUNet(output_nc=output_nc, img_size=img_size,
+                       token_len=4, enc_depth=1, dtype=dtype)
+
+
+def define_g(net_g: str, **kwargs):
+    """Build a model by its reference ``--net_G`` key."""
+    if net_g not in _REGISTRY:
+        raise NotImplementedError(
+            f"Generator model name [{net_g}] is not recognized. "
+            f"Available: {sorted(_REGISTRY)}")
+    return _REGISTRY[net_g](**kwargs)
+
+
+def available_models():
+    return sorted(_REGISTRY)

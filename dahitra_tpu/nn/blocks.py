@@ -1,0 +1,275 @@
+"""Primitive NN blocks, implemented once (the reference duplicates these
+across models/help_funcs.py, xBD_code/zoo/model_transformer*.py and
+xBD_code/zoo/models.py:1586-1752).
+
+Layout is NHWC (TPU-native); sequences are (B, N, C). Parameters are fp32;
+``dtype`` selects the computation precision (bfloat16 keeps matmuls on the
+MXU at full rate; softmax and layer norms accumulate in fp32).
+
+Behavioral parity notes (reference /root/reference/models/help_funcs.py):
+  * Attention/Cross_Attention scale is ``dim ** -0.5`` on the *model* dim,
+    not the head dim (help_funcs.py:71,122) — replicated.
+  * PreNorm2 normalizes query and memory with the SAME LayerNorm instance
+    (help_funcs.py:43-49) — replicated via a shared submodule.
+  * Cross_Attention supports the no-softmax mode (help_funcs.py:102-105).
+  * FeedForward = Linear-GELU-Dropout-Linear-Dropout (help_funcs.py:52-63).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Nearest-neighbor upsample (torch nn.Upsample default mode)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), method="nearest")
+
+
+def upsample_bilinear(x: jax.Array, factor: int = 4) -> jax.Array:
+    """Bilinear upsample with half-pixel centers (torch align_corners=False)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), method="bilinear")
+
+
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, 3, 3, 1),
+        (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """torch F.max_pool2d(kernel_size=2, stride=2)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+class TwoLayerConv(nn.Module):
+    """conv3x3(bias=False)-BN-ReLU-conv3x3 head (help_funcs.py:7-15)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        k = self.kernel_size
+        c_in = x.shape[-1]
+        x = nn.Conv(c_in, (k, k), padding=k // 2, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (k, k), padding=k // 2, dtype=self.dtype,
+                    name="conv2")(x)
+        return x
+
+
+class ConvRelu(nn.Module):
+    """conv3x3(padding 1)-ReLU (networks.py:408-416)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    padding=1, dtype=self.dtype, name="conv")(x)
+        return nn.relu(x)
+
+
+class ConvReluBN(nn.Module):
+    """conv3x3-BN-ReLU (networks.py:396-405)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    padding=1, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn")(x)
+        return nn.relu(x)
+
+
+class FeedForward(nn.Module):
+    """Linear-GELU-Dropout-Linear-Dropout (help_funcs.py:52-63)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+def _split_heads(t: jax.Array, heads: int) -> jax.Array:
+    b, n, hd = t.shape
+    return t.reshape(b, n, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(t: jax.Array) -> jax.Array:
+    b, h, n, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """MHSA with fused qkv projection (help_funcs.py:117-151).
+
+    Quirk preserved: attention logits are scaled by ``dim ** -0.5`` on the
+    model dim, not the per-head dim (help_funcs.py:122).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
+        scale = self.dim ** -0.5
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k).astype(jnp.float32) * scale
+        attn = jax.nn.softmax(dots, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = _merge_heads(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out
+
+
+class CrossAttention(nn.Module):
+    """Query from x, key/value from memory m (help_funcs.py:66-114).
+
+    ``softmax=False`` leaves raw dot products as the mixing weights — a BIT
+    ablation mode (help_funcs.py:102-105).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    softmax: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, m: jax.Array, deterministic: bool = True) -> jax.Array:
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(m)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(m)
+        q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
+        scale = self.dim ** -0.5
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k).astype(jnp.float32) * scale
+        if self.softmax:
+            attn = jax.nn.softmax(dots, axis=-1)
+        else:
+            attn = dots
+        attn = attn.astype(q.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = _merge_heads(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out
+
+
+class TransformerEncoder(nn.Module):
+    """depth x [x += MHSA(LN(x)); x += FF(LN(x))] (help_funcs.py:154-167)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        for i in range(self.depth):
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"attn_norm_{i}")(x)
+            x = x + MultiHeadSelfAttention(
+                self.dim, self.heads, self.dim_head, self.dropout, self.dtype,
+                name=f"attn_{i}")(h, deterministic)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"ff_norm_{i}")(x)
+            x = x + FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype,
+                                name=f"ff_{i}")(h, deterministic)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    """depth x [x += CrossAttn(LN(x), LN(m)); x += FF(LN(x))].
+
+    PreNorm2 quirk preserved: the query and the memory share one LayerNorm's
+    parameters per layer (help_funcs.py:43-49,170-186).
+    """
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    softmax: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, m: jax.Array, deterministic: bool = True) -> jax.Array:
+        for i in range(self.depth):
+            norm = nn.LayerNorm(dtype=jnp.float32, name=f"attn_norm_{i}")
+            x = x + CrossAttention(
+                self.dim, self.heads, self.dim_head, self.dropout, self.softmax,
+                self.dtype, name=f"attn_{i}")(norm(x), norm(m), deterministic)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"ff_norm_{i}")(x)
+            x = x + FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype,
+                                name=f"ff_{i}")(h, deterministic)
+        return x
+
+
+class SemanticTokenizer(nn.Module):
+    """Spatial-attention token pooling (networks.py:312-319, :1273-1280).
+
+    A 1x1 conv produces L per-pixel logits; a softmax over the *pixel* axis
+    turns each into an attention map, and tokens are the attention-weighted
+    sums of the feature map: ``einsum('bnl,bnc->blc')``. One fused
+    matmul+softmax+matmul chain — XLA keeps it on the MXU.
+    """
+
+    token_len: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        logits = nn.Conv(self.token_len, (1, 1), use_bias=False, dtype=self.dtype,
+                         name="conv_token")(x)
+        logits = logits.reshape(b, h * w, self.token_len)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=1).astype(x.dtype)
+        tokens = jnp.einsum("bnl,bnc->blc", attn, x.reshape(b, h * w, c))
+        return tokens

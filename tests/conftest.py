@@ -7,7 +7,11 @@ hence they live at conftest import time.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the host environment pins JAX to the TPU plugin ("axon") and
+# rewrites JAX_PLATFORMS, so the env var alone is not enough — the config
+# update below is authoritative. Tests need the virtual multi-device CPU
+# mesh and exact fp32 numerics.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,3 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep compilation deterministic-ish and quick on CPU.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,179 @@
+"""NN block parity vs torch oracles (layout/padding/norm conventions)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+from dahitra_tpu.nn import (
+    MultiHeadSelfAttention,
+    CrossAttention,
+    SemanticTokenizer,
+    TransformerEncoder,
+    max_pool_3x3_s2,
+    upsample_bilinear,
+    upsample_nearest,
+)
+
+
+def test_conv_7x7_s2_p3_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 33, 33, 3)).astype(np.float32)  # odd size on purpose
+    w = rng.normal(size=(7, 7, 3, 8)).astype(np.float32) * 0.1
+
+    conv = fnn.Conv(8, (7, 7), strides=2, padding=3, use_bias=False)
+    params = {"params": {"kernel": jnp.array(w)}}
+    ours = np.asarray(conv.apply(params, jnp.array(x)))
+
+    tw = torch.tensor(w).permute(3, 2, 0, 1)  # HWIO -> OIHW
+    ref = F.conv2d(torch.tensor(x).permute(0, 3, 1, 2), tw, stride=2, padding=3)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_maxpool_3x3_s2_p1_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+    ours = np.asarray(max_pool_3x3_s2(jnp.array(x)))
+    ref = F.max_pool2d(torch.tensor(x).permute(0, 3, 1, 2), 3, 2, 1)
+    np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+
+def test_batchnorm_matches_torch_train_and_eval():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    gamma = rng.normal(size=(3,)).astype(np.float32)
+    beta = rng.normal(size=(3,)).astype(np.float32)
+
+    bn = fnn.BatchNorm(momentum=0.9, epsilon=1e-5)
+    variables = {
+        "params": {"scale": jnp.array(gamma), "bias": jnp.array(beta)},
+        "batch_stats": {"mean": jnp.zeros(3), "var": jnp.ones(3)},
+    }
+    out_train, mutated = bn.apply(variables, jnp.array(x),
+                                  use_running_average=False,
+                                  mutable=["batch_stats"])
+
+    tbn = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.tensor(gamma))
+        tbn.bias.copy_(torch.tensor(beta))
+    tbn.train()
+    ref_train = tbn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out_train), ref_train.detach().numpy(),
+                               rtol=1e-4, atol=1e-4)
+    # Running stats update: torch uses unbiased var for the running estimate.
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+
+    tbn.eval()
+    ref_eval = tbn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    out_eval = bn.apply(
+        {"params": variables["params"],
+         "batch_stats": mutated["batch_stats"]},
+        jnp.array(x), use_running_average=True)
+    np.testing.assert_allclose(np.asarray(out_eval), ref_eval.detach().numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_upsample_semantics_match_torch():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 5, 5, 2)).astype(np.float32)
+    ours_n = np.asarray(upsample_nearest(jnp.array(x), 2))
+    ref_n = F.interpolate(torch.tensor(x).permute(0, 3, 1, 2), scale_factor=2)
+    np.testing.assert_allclose(ours_n, ref_n.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+    ours_b = np.asarray(upsample_bilinear(jnp.array(x), 4))
+    ref_b = F.interpolate(torch.tensor(x).permute(0, 3, 1, 2), scale_factor=4,
+                          mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(ours_b, ref_b.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def torch_mhsa(x, wqkv, wout, bout, dim, heads, dim_head):
+    """Oracle mirroring help_funcs.py:117-151 semantics."""
+    import einops
+
+    qkv = x @ wqkv.T
+    q, k, v = qkv.chunk(3, dim=-1)
+    q, k, v = (einops.rearrange(t, "b n (h d) -> b h n d", h=heads) for t in (q, k, v))
+    dots = torch.einsum("bhid,bhjd->bhij", q, k) * dim ** -0.5
+    attn = dots.softmax(dim=-1)
+    out = torch.einsum("bhij,bhjd->bhid", attn, v)
+    out = einops.rearrange(out, "b h n d -> b n (h d)")
+    return out @ wout.T + bout
+
+
+def test_mhsa_matches_reference_math():
+    dim, heads, dim_head, n = 32, 8, 64, 8
+    inner = heads * dim_head
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, n, dim)).astype(np.float32)
+    wqkv = (rng.normal(size=(inner * 3, dim)) * 0.05).astype(np.float32)
+    wout = (rng.normal(size=(dim, inner)) * 0.05).astype(np.float32)
+    bout = rng.normal(size=(dim,)).astype(np.float32)
+
+    mod = MultiHeadSelfAttention(dim=dim, heads=heads, dim_head=dim_head)
+    params = {"params": {
+        "to_qkv": {"kernel": jnp.array(wqkv.T)},
+        "to_out": {"kernel": jnp.array(wout.T), "bias": jnp.array(bout)},
+    }}
+    ours = np.asarray(mod.apply(params, jnp.array(x)))
+    ref = torch_mhsa(torch.tensor(x), torch.tensor(wqkv), torch.tensor(wout),
+                     torch.tensor(bout), dim, heads, dim_head).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cross_attention_no_softmax_mode():
+    mod = CrossAttention(dim=16, heads=2, dim_head=8, softmax=False)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 6, 16))
+    m = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16))
+    params = mod.init(key, x, m)
+    out = mod.apply(params, x, m)
+    assert out.shape == (1, 6, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_semantic_tokenizer_math():
+    """tokens = softmax-over-pixels(conv1x1 logits)^T @ features
+    (networks.py:312-319)."""
+    rng = np.random.default_rng(5)
+    b, h, w, c, L = 2, 4, 4, 8, 3
+    x = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    wk = rng.normal(size=(1, 1, c, L)).astype(np.float32)
+
+    mod = SemanticTokenizer(token_len=L)
+    params = {"params": {"conv_token": {"kernel": jnp.array(wk)}}}
+    tokens = np.asarray(mod.apply(params, jnp.array(x)))
+
+    logits = (x.reshape(b, h * w, c) @ wk[0, 0])  # (b, n, L)
+    att = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+    expected = np.einsum("bnl,bnc->blc", att, x.reshape(b, h * w, c))
+    np.testing.assert_allclose(tokens, expected, rtol=1e-4, atol=1e-5)
+    assert tokens.shape == (b, L, c)
+
+
+def test_decoder_shares_prenorm_layer_params():
+    """PreNorm2 quirk: one LayerNorm per decoder layer normalizes both
+    query and memory (help_funcs.py:43-49)."""
+    from dahitra_tpu.nn import TransformerDecoder
+
+    mod = TransformerDecoder(dim=16, depth=2, heads=2, dim_head=8, mlp_dim=16)
+    x = jnp.zeros((1, 5, 16))
+    m = jnp.zeros((1, 3, 16))
+    params = mod.init(jax.random.PRNGKey(0), x, m)["params"]
+    # Exactly one attn_norm per layer (not separate norms for x and m).
+    assert set(k for k in params if k.startswith("attn_norm")) == {
+        "attn_norm_0", "attn_norm_1"}
+
+
+def test_transformer_encoder_shapes():
+    mod = TransformerEncoder(dim=32, depth=2, heads=8, dim_head=64, mlp_dim=64)
+    x = jnp.zeros((2, 8, 32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+    assert out.shape == (2, 8, 32)
