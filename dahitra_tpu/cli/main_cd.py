@@ -1,0 +1,91 @@
+"""Train + test CLI for the change-detection stack.
+
+Flag-compatible rebuild of the reference main_cd.py:31-80 (same flag names
+so scripts/run_cd.sh recipes port unchanged; --gpu_ids is accepted and
+ignored — device selection is JAX's).
+
+Usage (fixture quick start):
+  python -m dahitra_tpu.cli.main_cd --data_name LEVIR --net_G newUNetTrans \
+      --img_size 256 --batch_size 4 --max_epochs 2 --lr 0.001 \
+      --lr_policy linear --split train --split_val val \
+      --checkpoint_root /tmp/ckpt --project_name demo
+"""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+from dahitra_tpu.data.levir import load_levir_split
+from dahitra_tpu.data.registry import get_data_config
+from dahitra_tpu.evalx.evaluator import CDEvaluator
+from dahitra_tpu.train.engine import CDTrainer
+
+
+def pairs_to_arrays(p):
+    return {"a": p.a, "b": p.b, "label": p.label}
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser()
+    parser.add_argument("--gpu_ids", type=str, default="0",
+                        help="accepted for reference-recipe compatibility; unused")
+    parser.add_argument("--project_name", default="test", type=str)
+    parser.add_argument("--checkpoint_root", default="checkpoints", type=str)
+    parser.add_argument("--num_workers", default=4, type=int)
+    parser.add_argument("--dataset", default="CDDataset", type=str)
+    parser.add_argument("--data_name", default="LEVIR", type=str)
+    parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--split", default="train", type=str)
+    parser.add_argument("--split_val", default="val", type=str)
+    parser.add_argument("--img_size", default=256, type=int)
+    parser.add_argument("--n_class", default=2, type=int)
+    parser.add_argument("--net_G", default="newUNetTrans", type=str)
+    parser.add_argument("--loss", default="ce", type=str,
+                        help="recorded; the trainer optimizes dice+focal "
+                             "(batch>1) like the reference (trainer.py:254-261)")
+    parser.add_argument("--optimizer", default="adamw", type=str)
+    parser.add_argument("--lr", default=0.0005, type=float)
+    parser.add_argument("--max_epochs", default=100, type=int)
+    parser.add_argument("--lr_policy", default="linear", type=str)
+    parser.add_argument("--lr_decay_iters", default=100, type=int)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (TPU MXU fast path)")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--skip_test", action="store_true")
+    return parser
+
+
+def train(args):
+    cfg = get_data_config(args.data_name)
+    train_pairs = load_levir_split(cfg.root_dir, args.split, args.img_size,
+                                   cfg.label_transform)
+    val_pairs = load_levir_split(cfg.root_dir, args.split_val, args.img_size,
+                                 cfg.label_transform)
+    trainer = CDTrainer(args, pairs_to_arrays(train_pairs),
+                        pairs_to_arrays(val_pairs))
+    trainer.train_models()
+
+
+def test(args):
+    cfg = get_data_config(args.data_name)
+    split = "test"
+    if not os.path.isdir(os.path.join(cfg.root_dir, split, "A")):
+        split = args.split_val  # fixture data has no test split
+    pairs = load_levir_split(cfg.root_dir, split, args.img_size,
+                             cfg.label_transform)
+    evaluator = CDEvaluator(args, pairs_to_arrays(pairs))
+    evaluator.eval_models()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.checkpoint_dir = os.path.join(args.checkpoint_root, args.project_name)
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    args.vis_dir = os.path.join(args.checkpoint_dir, "vis")
+    train(args)
+    if not args.skip_test:
+        test(args)
+
+
+if __name__ == "__main__":
+    main()

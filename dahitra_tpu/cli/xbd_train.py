@@ -1,0 +1,59 @@
+"""xBD damage-classification / localization training CLI.
+
+Replaces the reference's edit-the-globals scripts (xBD_code/train.py:39-77,
+train_loc.py) with flags. Defaults reproduce the reference recipe:
+DAHiTra (TUNet) 5-class on 1024px tiles, ComboLoss{dice:1,focal:8} weighted
+per channel, AdamW 1e-4/wd 1e-6, MultiStepLR gamma 0.6, eval every 2 epochs
+with the xView2 score; --task loc trains the binary footprint model
+(ComboLoss{dice:1,focal:10}, lr 1.5e-4).
+"""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+from dahitra_tpu.data.xbd import (load_xbd_pairs, scan_xbd_files,
+                                  split_and_upsample)
+from dahitra_tpu.train.xbd_engine import XBDTrainer
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument("--data_root", default="/root/reference/data/xbd/train")
+    parser.add_argument("--task", default="damage", choices=["damage", "loc"])
+    parser.add_argument("--net_G", default="xbd_dahitra")
+    parser.add_argument("--img_size", default=1024, type=int,
+                        help="crop size (1024 = full tile, train.py:67)")
+    parser.add_argument("--batch_size", default=1, type=int)
+    parser.add_argument("--val_batch_size", default=1, type=int)
+    parser.add_argument("--lr", default=0.0, type=float,
+                        help="0 = reference default for the task")
+    parser.add_argument("--max_epochs", default=100, type=int)
+    parser.add_argument("--checkpoint_root", default="weights")
+    parser.add_argument("--project_name", default="xbd_dahitra")
+    parser.add_argument("--warm_start_from", default=None,
+                        help="checkpoint dir to size-filter weights from")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--eval_every", default=2, type=int)
+    args = parser.parse_args(argv)
+    args.checkpoint_dir = os.path.join(args.checkpoint_root, args.project_name)
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    if args.task == "loc":
+        args.net_G = "xbd_res34_loc" if args.net_G == "xbd_dahitra" else args.net_G
+
+    files = scan_xbd_files([args.data_root])
+    train_idx, val_idx = split_and_upsample(files, seed=args.seed)
+    train_pairs = load_xbd_pairs([files[i] for i in train_idx], train=True,
+                                 crop_size=args.img_size, seed=args.seed)
+    val_pairs = load_xbd_pairs([files[i] for i in val_idx], train=False,
+                               crop_size=args.img_size, seed=args.seed)
+    trainer = XBDTrainer(args, train_pairs.arrays(), val_pairs.arrays(),
+                         task=args.task)
+    trainer.train_models(eval_every=args.eval_every)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is single-process DataParallel
+(models/networks.py:121-126) — replicate the module, scatter the batch,
+gather outputs. TPU-native replacement: a ``jax.sharding.Mesh`` with
+
+  * ``data``  — batch data parallelism. Gradients sync via the all-reduce
+    GSPMD inserts over ICI; BatchNorm statistics become *global* batch
+    stats automatically (an upgrade over DataParallel's per-replica BN).
+  * ``space`` — optional spatial parallelism: shard image rows (H) across
+    chips. XLA inserts halo exchanges for convolutions, which is how
+    1024px+ xBD tiles scale past one chip's HBM without the reference's
+    tiling workarounds (SURVEY.md §5 long-context analog).
+
+Inputs are placed with ``shard_batch`` and propagate through jit; no
+explicit collectives appear in model code.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, space) mesh. Defaults to all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_space
+    assert n_data * n_space <= len(devices), (
+        f"mesh {n_data}x{n_space} needs more than {len(devices)} devices")
+    arr = mesh_utils.create_device_mesh((n_data, n_space),
+                                        devices=devices[: n_data * n_space])
+    return Mesh(arr, ("data", "space"))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = True) -> NamedSharding:
+    """Sharding for NHWC image batches: batch over 'data', rows over 'space'."""
+    if spatial:
+        return NamedSharding(mesh, P("data", "space"))
+    return NamedSharding(mesh, P("data"))
+
+
+def label_sharding(mesh: Mesh, spatial: bool = True) -> NamedSharding:
+    return batch_sharding(mesh, spatial)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False) -> dict:
+    """Place a host batch dict of (B, H, W, [C]) arrays onto the mesh."""
+    sh = batch_sharding(mesh, spatial)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jax.Array)) and v.ndim >= 2:
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,116 @@
+"""CDEvaluator — checkpoint evaluation with on-device metrics.
+
+Parity target: models/evaluator.py:20-182 plus eval_cd.py's 16-patch sweep
+(eval_cd.py:49-55). Differences by design:
+  * The confusion matrix is accumulated on device; the reference argmaxed
+    to host and ran numpy bincounts per batch.
+  * The reference unconditionally wrote a 4-row comparison JPEG per batch
+    (models/evaluator.py:118-131) — its actual eval bottleneck. Vis dumps
+    are opt-in here (``save_vis``).
+  * The 16 fixed 256px patches of each 1024px tile are evaluated in one
+    pass by folding patches into the batch axis, instead of re-creating
+    the loader+evaluator 16 times; the accumulated CM is identical because
+    CM accumulation is additive.
+Outputs keep the reference's artifacts: scores line in log_test.txt, the
+``<mf1>.txt`` marker file, and scores_dict.npy.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dahitra_tpu.core.checkpoint import load_checkpoint_raw
+from dahitra_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
+from dahitra_tpu.data.augment import augment_pairs
+from dahitra_tpu.data.loader import BatchLoader
+from dahitra_tpu.metrics.confusion import batch_confusion_matrix, cm2score
+from dahitra_tpu.models.registry import define_g
+from dahitra_tpu.utils import Logger, Timer
+
+
+class CDEvaluator:
+    def __init__(self, args, arrays: Dict[str, np.ndarray], mesh=None,
+                 state=None):
+        self.args = args
+        self.n_class = args.n_class
+        self.checkpoint_dir = args.checkpoint_dir
+        self.dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = define_g(args.net_G, dtype=self.dtype, img_size=args.img_size)
+        self.logger = Logger(os.path.join(args.checkpoint_dir, "log_test.txt"))
+        self.loader = BatchLoader(arrays, args.batch_size, shuffle=False)
+
+        if state is None:
+            restored = load_checkpoint_raw(self.checkpoint_dir, "best_ckpt")
+            if restored is None:
+                raise FileNotFoundError(
+                    f"no such checkpoint best_ckpt in {self.checkpoint_dir}")
+            raw, meta = restored
+            self.params = raw["params"]
+            self.batch_stats = raw.get("batch_stats", {})
+            self.logger.write(
+                f"Eval Historical_best_acc = {meta.get('best_val_acc', 0):.4f} "
+                f"(at epoch {meta.get('best_epoch_id', 0)})\n\n")
+        else:
+            self.params = state.params
+            self.batch_stats = state.batch_stats
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.batch_stats = jax.device_put(self.batch_stats, rep)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _eval_step_impl(self, params, batch_stats, a_u8, b_u8, l_u8):
+        a, b, label = augment_pairs(a_u8, b_u8, l_u8, jax.random.PRNGKey(0),
+                                    train=False, dtype=self.dtype)
+        logits = self.model.apply({"params": params, "batch_stats": batch_stats},
+                                  a, b, False)
+        if isinstance(logits, (list, tuple)):  # multi-scale heads (ChangeFormer)
+            logits = logits[-1]
+        pred = jnp.argmax(logits, -1)
+        return batch_confusion_matrix(pred, label, self.n_class), pred
+
+    def eval_models(self, save_vis: bool = False) -> dict:
+        self.logger.write("Begin evaluation...\n")
+        timer = Timer()
+        cms, n_img = [], 0
+        sh = batch_sharding(self.mesh, spatial=False)
+        for batch in self.loader:
+            a = jax.device_put(batch["a"], sh)
+            b = jax.device_put(batch["b"], sh)
+            l = jax.device_put(batch["label"], sh)
+            cm, pred = self._eval_step(self.params, self.batch_stats, a, b, l)
+            cms.append(cm)
+            n_img += len(batch["a"])
+            if save_vis:
+                self._save_vis(batch, np.asarray(pred), n_img)
+        total = np.asarray(sum(cms))
+        scores = cm2score(total)
+        imps = timer.images_per_sec(n_img)
+        self.logger.write(
+            " ".join(f"{k}: {v:.5f}" for k, v in scores.items())
+            + f" imps: {imps:.2f}\n\n")
+        # Reference artifacts: marker file + scores dict.
+        with open(os.path.join(self.checkpoint_dir, f"{scores['mf1']}.txt"), "a"):
+            pass
+        np.save(os.path.join(self.checkpoint_dir, "scores_dict.npy"), scores)
+        scores["imps"] = imps
+        return scores
+
+    def _save_vis(self, batch, pred, tag):
+        """4-row comparison grid like models/evaluator.py:118-131 (opt-in)."""
+        from PIL import Image
+
+        vis_dir = getattr(self.args, "vis_dir", os.path.join(self.checkpoint_dir, "vis"))
+        os.makedirs(vis_dir, exist_ok=True)
+        a = np.concatenate(list(batch["a"]), axis=1)
+        b = np.concatenate(list(batch["b"]), axis=1)
+        p = np.concatenate(list(pred.astype(np.uint8) * 255), axis=1)
+        g = np.concatenate(list(batch["label"].astype(np.uint8) * 255), axis=1)
+        p3 = np.stack([p] * 3, -1)
+        g3 = np.stack([g] * 3, -1)
+        grid = np.concatenate([a, b, p3, g3], axis=0)
+        Image.fromarray(grid).save(os.path.join(vis_dir, f"eval_{tag}.jpg"))

@@ -132,6 +132,10 @@ class DAHiTraUNet(nn.Module):
     decoder_softmax: bool = True
     with_pos: bool = True
     with_decoder_pos: bool = True
+    # xBD-variant quirk (xBD_code/zoo/model_transformer_encoding.py:358-384):
+    # the layer-index dispatch there only matches at the coarsest scale, so
+    # token/decoder positional embeddings are applied ONLY at level 5.
+    pos_coarsest_only: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -141,17 +145,18 @@ class DAHiTraUNet(nn.Module):
         s = self.img_size
         # (enc_heads, dec_depth, dec_heads, pos_size) per coarse scale;
         # scale index 1 = 1/4 (layer "3"), 2 = 1/8 ("4"), 3 = 1/16 ("5").
+        fine_pos = not self.pos_coarsest_only
         self.trans_3 = TransDiffModule(
             enc_depth=self.enc_depth, enc_heads=8, enc_dim_head=self.dim_head,
             dec_depth=8, dec_heads=8, dec_dim_head=self.decoder_dim_head,
-            pos_size=s // 4, with_pos=self.with_pos,
-            with_decoder_pos=self.with_decoder_pos,
+            pos_size=s // 4, with_pos=self.with_pos and fine_pos,
+            with_decoder_pos=self.with_decoder_pos and fine_pos,
             decoder_softmax=self.decoder_softmax, dtype=self.dtype, name="trans_3")
         self.trans_4 = TransDiffModule(
             enc_depth=self.enc_depth, enc_heads=4, enc_dim_head=self.dim_head,
             dec_depth=4, dec_heads=4, dec_dim_head=self.decoder_dim_head,
-            pos_size=s // 8, with_pos=self.with_pos,
-            with_decoder_pos=self.with_decoder_pos,
+            pos_size=s // 8, with_pos=self.with_pos and fine_pos,
+            with_decoder_pos=self.with_decoder_pos and fine_pos,
             decoder_softmax=self.decoder_softmax, dtype=self.dtype, name="trans_4")
         self.trans_5 = TransDiffModule(
             enc_depth=self.enc_depth, enc_heads=4, enc_dim_head=self.dim_head,

@@ -12,7 +12,9 @@ import jax.numpy as jnp
 
 from dahitra_tpu.models.bit import BIT
 from dahitra_tpu.models.dahitra import DAHiTraUNet
+from dahitra_tpu.models.res34_unet import Res34UnetDouble, Res34UnetLoc
 from dahitra_tpu.models.resnet_cd import ResNetCD
+from dahitra_tpu.models.siam_unet_conc import SiamUnetConc
 
 _REGISTRY: Dict[str, Callable[..., Any]] = {}
 
@@ -62,6 +64,45 @@ def _bit_t8_e2d4(dtype=jnp.float32, **kw):
 def _dahitra(dtype=jnp.float32, img_size: int = 256, output_nc: int = 2, **kw):
     return DAHiTraUNet(output_nc=output_nc, img_size=img_size,
                        token_len=4, enc_depth=1, dtype=dtype)
+
+
+@register("siamUnet_conc")
+def _siam_unet_conc(dtype=jnp.float32, **kw):
+    return SiamUnetConc(input_nbr=3, label_nbr=2, dtype=dtype)
+
+
+@register("siamUnet")
+def _siam_unet(dtype=jnp.float32, **kw):
+    return Res34UnetDouble(output_nc=5, dtype=dtype)
+
+
+# ---- xBD-stack models (script-selected in the reference, not define_G) ----
+
+
+@register("xbd_dahitra")
+def _xbd_dahitra(dtype=jnp.float32, img_size: int = 1024, **kw):
+    """xBD_code/train.py:44-45: DAHiTra, 5-class, 6-channel input, with the
+    coarsest-scale-only positional-embedding quirk."""
+    return DAHiTraUNet(output_nc=5, input_nc=6, img_size=img_size,
+                       token_len=4, enc_depth=1, pos_coarsest_only=True,
+                       dtype=dtype)
+
+
+@register("xbd_res34_loc")
+def _xbd_res34_loc(dtype=jnp.float32, **kw):
+    return Res34UnetLoc(dtype=dtype)
+
+
+@register("xbd_res34_double")
+def _xbd_res34_double(dtype=jnp.float32, **kw):
+    return Res34UnetDouble(output_nc=5, dtype=dtype)
+
+
+@register("xbd_bit")
+def _xbd_bit(dtype=jnp.float32, **kw):
+    """xBD_code/train.py:54-55: BIT, 5-class."""
+    return BIT(output_nc=5, token_len=4, resnet_stages_num=4,
+               enc_depth=1, dec_depth=8, dtype=dtype)
 
 
 def define_g(net_g: str, **kwargs):

@@ -1,0 +1,214 @@
+"""CDTrainer — the training engine for the LEVIR-CD stack.
+
+Parity target: models/trainer.py:21-335 (class CDTrainer), re-designed for
+TPU:
+  * One jit-compiled ``train_step`` fuses on-device augmentation, forward,
+    loss, backward, AdamW update, and the confusion-matrix update into a
+    single XLA program; the TrainState is donated (no HBM copy per step).
+  * Loss follows the reference's actual behavior (models/trainer.py:254-261):
+    dice(argmax)+focal for batch>1, weighted CE for batch==1 — the --loss
+    CLI flag is recorded but, like the reference, not what the hot loop
+    optimizes.
+  * Gradient clipping is off on this path: the reference clips AFTER
+    optimizer.step() (models/trainer.py:307-308), which never affects an
+    applied update.
+  * LR schedule is epoch-indexed (constant within an epoch), matching
+    torch scheduler.step() placement.
+  * Metrics: per-batch confusion matrices stay on device; the tiny
+    (n_class²) arrays are summed lazily and pulled once per epoch — the
+    reference synced argmax tensors to host every batch
+    (models/trainer.py:163-173).
+  * Checkpointing: Orbax best-checkpoint gating on val mF1
+    (models/trainer.py:217-231) + train_acc.npy / val_acc.npy curves
+    (models/trainer.py:233-241).
+  * Multi-chip: batch is sharded over the mesh 'data' axis; GSPMD inserts
+    the gradient all-reduce and makes BatchNorm statistics global.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dahitra_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from dahitra_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
+from dahitra_tpu.core.state import TrainState
+from dahitra_tpu.data.augment import augment_pairs
+from dahitra_tpu.data.loader import BatchLoader
+from dahitra_tpu.losses.cd import levir_train_loss
+from dahitra_tpu.metrics.confusion import batch_confusion_matrix, cm2f1, cm2score
+from dahitra_tpu.models.registry import define_g
+from dahitra_tpu.train.optim import epoch_lr, make_optimizer, set_learning_rate
+from dahitra_tpu.utils import Logger, Timer
+
+
+class CDTrainer:
+    def __init__(self, args, train_arrays: Dict[str, np.ndarray],
+                 val_arrays: Dict[str, np.ndarray], mesh=None):
+        self.args = args
+        self.n_class = args.n_class
+        self.checkpoint_dir = args.checkpoint_dir
+        self.max_epochs = args.max_epochs
+        self.batch_size = args.batch_size
+        self.dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.devices.size
+
+        self.model = define_g(args.net_G, dtype=self.dtype,
+                              img_size=args.img_size)
+        self.logger = Logger(os.path.join(self.checkpoint_dir, "log.txt"))
+        self.logger.write_dict(vars(args) if hasattr(args, "__dict__") else dict(args))
+
+        key = jax.random.PRNGKey(getattr(args, "seed", 0))
+        self.key, init_key = jax.random.split(key)
+        dummy = jnp.zeros((1, args.img_size, args.img_size, 3), self.dtype)
+        variables = jax.jit(functools.partial(self.model.init, train=True))(
+            init_key, dummy, dummy)
+        self.tx = make_optimizer(args.lr, weight_decay=0.01)
+        state = TrainState.create(variables, self.tx)
+        # Replicate the state across the mesh.
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+
+        self.train_loader = BatchLoader(
+            train_arrays, args.batch_size, shuffle=True,
+            seed=getattr(args, "seed", 0),
+            pad_to_multiple=self.n_devices if self.n_devices > 1 else None)
+        self.val_loader = BatchLoader(
+            val_arrays, args.batch_size, shuffle=False,
+            pad_to_multiple=self.n_devices if self.n_devices > 1 else None)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+        self.epoch_to_start = 0
+        self.best_val_acc = 0.0
+        self.best_epoch_id = 0
+        self.train_acc_curve: list = []
+        self.val_acc_curve: list = []
+        self._maybe_resume()
+
+    # ---------------- jitted step functions ----------------
+
+    def _train_step_impl(self, state: TrainState, a_u8, b_u8, l_u8, key):
+        a, b, label = augment_pairs(a_u8, b_u8, l_u8, key, train=True,
+                                    dtype=self.dtype)
+        bs = a.shape[0]
+
+        def loss_fn(params):
+            logits, mut = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                a, b, True, mutable=["batch_stats"])
+            loss = levir_train_loss(logits.astype(jnp.float32), label, bs)
+            return loss, (logits, mut["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        cm = batch_confusion_matrix(jnp.argmax(logits, -1), label, self.n_class)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, loss, cm
+
+    def _eval_step_impl(self, state: TrainState, a_u8, b_u8, l_u8):
+        a, b, label = augment_pairs(a_u8, b_u8, l_u8,
+                                    jax.random.PRNGKey(0), train=False,
+                                    dtype=self.dtype)
+        logits = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            a, b, False)
+        return batch_confusion_matrix(jnp.argmax(logits, -1), label, self.n_class)
+
+    # ---------------- epoch loops ----------------
+
+    def _put(self, batch):
+        sh = batch_sharding(self.mesh, spatial=False)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()
+                if k in ("a", "b", "label")}
+
+    def train_one_epoch(self, epoch: int) -> dict:
+        lr = epoch_lr(self.args.lr, epoch, self.args.lr_policy, self.max_epochs)
+        self.state = self.state.replace(
+            opt_state=set_learning_rate(self.state.opt_state, lr))
+        self.logger.write(f"lr: {lr:.7f}\n")
+        cms, losses, n_img = [], [], 0
+        timer = Timer()
+        for batch in self.train_loader:
+            d = self._put(batch)
+            self.key, sub = jax.random.split(self.key)
+            self.state, loss, cm = self._train_step(
+                self.state, d["a"], d["b"], d["label"], sub)
+            cms.append(cm)
+            losses.append(loss)
+            n_img += len(batch["a"])
+        total_cm = np.asarray(sum(cms)) if cms else np.zeros((self.n_class,) * 2)
+        scores = cm2score(total_cm)
+        imps = timer.images_per_sec(n_img)
+        self.logger.write(
+            f"Is_training: True. Epoch {epoch} / {self.max_epochs - 1}, "
+            f"epoch_mF1= {scores['mf1']:.5f}, imps: {imps:.2f}, "
+            f"G_loss: {float(np.mean([float(l) for l in losses])):.5f}\n")
+        self.train_acc_curve.append(scores["mf1"])
+        np.save(os.path.join(self.checkpoint_dir, "train_acc.npy"),
+                np.asarray(self.train_acc_curve, np.float32))
+        return scores
+
+    def validate(self, epoch: int) -> dict:
+        cms = []
+        for batch in self.val_loader:
+            d = self._put(batch)
+            cms.append(self._eval_step(self.state, d["a"], d["b"], d["label"]))
+        total_cm = np.asarray(sum(cms)) if cms else np.zeros((self.n_class,) * 2)
+        scores = cm2score(total_cm)
+        self.logger.write(
+            f"Is_training: False. Epoch {epoch} / {self.max_epochs - 1}, "
+            f"epoch_mF1= {scores['mf1']:.5f}\n")
+        self.logger.write(" ".join(f"{k}: {v:.5f}" for k, v in scores.items()) + "\n\n")
+        self.val_acc_curve.append(scores["mf1"])
+        np.save(os.path.join(self.checkpoint_dir, "val_acc.npy"),
+                np.asarray(self.val_acc_curve, np.float32))
+        return scores
+
+    def _maybe_resume(self):
+        restored = load_checkpoint(self.checkpoint_dir, "best_ckpt",
+                                   self.state)
+        if restored is None:
+            self.logger.write("training from scratch...\n")
+            return
+        state, meta = restored
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        self.epoch_to_start = int(meta.get("epoch_id", -1)) + 1
+        self.best_val_acc = float(meta.get("best_val_acc", 0.0))
+        self.best_epoch_id = int(meta.get("best_epoch_id", 0))
+        self.logger.write(
+            f"Epoch_to_start = {self.epoch_to_start}, "
+            f"Historical_best_acc = {self.best_val_acc:.4f} "
+            f"(at epoch {self.best_epoch_id})\n\n")
+
+    def _update_checkpoints(self, epoch: int, val_acc: float):
+        self.logger.write(
+            f"Lastest model updated. Epoch_acc={val_acc:.4f}, "
+            f"Historical_best_acc={self.best_val_acc:.4f} "
+            f"(at epoch {self.best_epoch_id})\n\n")
+        if val_acc > self.best_val_acc:
+            self.best_val_acc = val_acc
+            self.best_epoch_id = epoch
+            save_checkpoint(self.checkpoint_dir, "best_ckpt", self.state,
+                            {"epoch_id": epoch,
+                             "best_val_acc": self.best_val_acc,
+                             "best_epoch_id": self.best_epoch_id})
+            self.logger.write("*" * 10 + "Best model updated!\n\n")
+
+    def train_models(self):
+        for epoch in range(self.epoch_to_start, self.max_epochs):
+            self.train_one_epoch(epoch)
+            self.logger.write("Begin evaluation...\n")
+            scores = self.validate(epoch)
+            self._update_checkpoints(epoch, scores["mf1"])
+        return self.state

@@ -1,0 +1,267 @@
+"""XBDTrainer — damage-classification / localization training engine.
+
+Parity targets (reference /root/reference/xBD_code):
+  * train.py:310-388 train_epoch — per-channel ComboLoss{dice:1, focal:8}
+    weighted [0.05, 0.2, 0.8, 0.7, 0.4]; grad clip 0.999 BEFORE the step
+    (correct order, unlike the LEVIR trainer); AdamW lr 1e-4 wd 1e-6;
+    MultiStepLR milestones gamma 0.6 (:439-441).
+  * train_loc.py:280-310 — localization: ComboLoss{dice:1, focal:10} on the
+    single channel, lr 1.5e-4.
+  * train.py:247-307 validate/evaluate_val — per-image loc dice at
+    threshold 0.3, per-class damage tp/fp/fn over GT building pixels,
+    xView2 score 0.3*dice + 0.7*harmonic-F1; best-snapshot gating every 2
+    epochs.
+    Documented divergence: the reference masks damage pixels with
+    ``lbl_msk[j][lbl_msk[j, 0] > 0]`` (train.py:271) — an accidental
+    row-selection that only type-checks because H == W. We use the intended
+    ``loc_gt > 0`` pixel mask (the xView2 scoring definition the published
+    numbers use).
+  * Warm start (train.py:446-462): size-matched key filtering from a prior
+    (e.g. localization) checkpoint via ``warm_start_from``.
+
+All of validate runs on device; only (B,) dice values and (4,) tp/fp/fn
+counters come back per batch.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dahitra_tpu.core.checkpoint import load_checkpoint_raw, save_checkpoint
+from dahitra_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
+from dahitra_tpu.core.state import TrainState
+from dahitra_tpu.data.loader import BatchLoader
+from dahitra_tpu.data.xbd_augment import augment_xbd
+from dahitra_tpu.losses.combo import xbd_damage_loss, xbd_localization_loss
+from dahitra_tpu.models.registry import define_g
+from dahitra_tpu.train.optim import (XBD_MULTISTEP_MILESTONES, epoch_lr,
+                                     make_optimizer, set_learning_rate)
+from dahitra_tpu.utils import Logger
+
+
+def _dice_per_image(pred_bool: jax.Array, gt_bool: jax.Array) -> jax.Array:
+    """xBD_code/utils.py:124-154: 2|A∩B| / (|A|+|B|), empty-vs-empty -> 1."""
+    p = pred_bool.reshape(pred_bool.shape[0], -1).astype(jnp.float32)
+    g = gt_bool.reshape(gt_bool.shape[0], -1).astype(jnp.float32)
+    inter = jnp.sum(p * g, axis=1)
+    s = jnp.sum(p, axis=1) + jnp.sum(g, axis=1)
+    return jnp.where(s == 0, 1.0, 2.0 * inter / jnp.maximum(s, 1.0))
+
+
+class XBDTrainer:
+    def __init__(self, args, train_arrays: Dict[str, np.ndarray],
+                 val_arrays: Dict[str, np.ndarray], mesh=None,
+                 task: str = "damage"):
+        self.args = args
+        self.task = task
+        self.checkpoint_dir = args.checkpoint_dir
+        self.max_epochs = args.max_epochs
+        self.thr = getattr(args, "loc_thr", 0.3)
+        self.dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.devices.size
+
+        self.model = define_g(args.net_G, dtype=self.dtype,
+                              img_size=args.img_size)
+        self.logger = Logger(os.path.join(self.checkpoint_dir, "log.txt"))
+
+        key = jax.random.PRNGKey(getattr(args, "seed", 0))
+        self.key, init_key = jax.random.split(key)
+        in_ch = 6 if task == "damage" else 3
+        dummy = jnp.zeros((1, args.img_size, args.img_size, in_ch), self.dtype)
+        if task == "damage":
+            variables = jax.jit(
+                lambda k, x: self.model.init(k, x, None, True))(init_key, dummy)
+        else:
+            variables = jax.jit(
+                lambda k, x: self.model.init(k, x, True))(init_key, dummy)
+
+        warm = getattr(args, "warm_start_from", None)
+        if warm:
+            variables = self.warm_start_from(variables, warm)
+
+        lr = args.lr if args.lr else (1e-4 if task == "damage" else 1.5e-4)
+        self.base_lr = lr
+        self.tx = make_optimizer(lr, weight_decay=1e-6, clip_norm=0.999)
+        self.state = jax.device_put(TrainState.create(variables, self.tx),
+                                    replicated_sharding(self.mesh))
+
+        self.train_loader = BatchLoader(
+            train_arrays, args.batch_size, shuffle=True,
+            seed=getattr(args, "seed", 0), drop_last=True,
+            pad_to_multiple=self.n_devices if self.n_devices > 1 else None)
+        self.val_loader = BatchLoader(val_arrays, args.val_batch_size
+                                      if hasattr(args, "val_batch_size")
+                                      else args.batch_size, shuffle=False)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self.best_score = 0.0
+        self.epoch_to_start = 0
+
+    # ---------------- warm start ----------------
+
+    def warm_start_from(self, variables: dict, ckpt_dir_name: str) -> dict:
+        """Copy shape-matched leaves from a prior checkpoint
+        (train.py:446-462's size-filtered state_dict copy)."""
+        d, name = os.path.split(ckpt_dir_name)
+        restored = load_checkpoint_raw(d or self.checkpoint_dir, name)
+        if restored is None:
+            self.logger.write(f"warm start: no checkpoint at {ckpt_dir_name}\n")
+            return variables
+        raw, _ = restored
+        src = {"params": raw.get("params", {}),
+               "batch_stats": raw.get("batch_stats", {})}
+        copied = skipped = 0
+
+        def merge(dst, s):
+            nonlocal copied, skipped
+            if isinstance(dst, dict):
+                return {k: merge(v, s.get(k)) if isinstance(s, dict) else v
+                        for k, v in dst.items()}
+            if s is not None and getattr(s, "shape", None) == dst.shape:
+                copied += 1
+                return jnp.asarray(s, dst.dtype)
+            skipped += 1
+            return dst
+
+        out = {c: merge(dict(variables[c]), src.get(c, {}))
+               for c in variables}
+        self.logger.write(f"warm start: copied {copied} leaves, "
+                          f"kept {skipped}\n")
+        return out
+
+    # ---------------- jitted steps ----------------
+
+    def _apply_model(self, params, batch_stats, img6, train):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if self.task == "damage":
+            return self.model.apply(variables, img6, None, train,
+                                    mutable=["batch_stats"] if train else False)
+        return self.model.apply(variables, img6, train,
+                                mutable=["batch_stats"] if train else False)
+
+    def _train_step_impl(self, state: TrainState, pre, post, msk, lbl, key):
+        img6, masks, _ = augment_xbd(pre, post, msk, lbl, key, train=True,
+                                     dtype=self.dtype)
+        if self.task != "damage":
+            img6 = img6[..., :3]
+
+        def loss_fn(params):
+            logits, mut = self._apply_model(params, state.batch_stats, img6, True)
+            logits = logits.astype(jnp.float32)
+            if self.task == "damage":
+                loss = xbd_damage_loss(logits, masks)
+            else:
+                loss = xbd_localization_loss(logits, masks[..., 0])
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_bs, opt_state=new_opt), loss
+
+    def _eval_step_impl(self, params, batch_stats, pre, post, msk, lbl):
+        img6, masks, lbl_i = augment_xbd(pre, post, msk, lbl,
+                                         jax.random.PRNGKey(0), train=False,
+                                         dtype=self.dtype)
+        if self.task != "damage":
+            img6 = img6[..., :3]
+        logits = self._apply_model(params, batch_stats, img6, False)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        loc_gt = masks[..., 0] > 0
+        loc_pred = probs[..., 0] > self.thr
+        dices = _dice_per_image(loc_pred, loc_gt)
+        if self.task != "damage":
+            z = jnp.zeros((4,), jnp.int32)
+            return dices, z, z, z
+        dmg_pred = jnp.argmax(probs[..., 1:], axis=-1)
+        dmg_pred = dmg_pred * loc_pred.astype(dmg_pred.dtype)
+        valid = loc_gt  # intended xView2 masking (see module docstring)
+        tp = jnp.zeros((4,), jnp.int32)
+        fp = jnp.zeros((4,), jnp.int32)
+        fn = jnp.zeros((4,), jnp.int32)
+        for c in range(4):
+            p_c = (dmg_pred == c) & valid
+            t_c = (lbl_i == c) & valid
+            tp = tp.at[c].add(jnp.sum(p_c & t_c))
+            fn = fn.at[c].add(jnp.sum(~p_c & t_c))
+            fp = fp.at[c].add(jnp.sum(p_c & ~t_c))
+        return dices, tp, fp, fn
+
+    # ---------------- loops ----------------
+
+    def _put(self, batch):
+        sh = batch_sharding(self.mesh, spatial=False)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+    def train_one_epoch(self, epoch: int):
+        lr = epoch_lr(self.base_lr, epoch, "multistep", self.max_epochs,
+                      milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6)
+        self.state = self.state.replace(
+            opt_state=set_learning_rate(self.state.opt_state, lr))
+        losses = []
+        for batch in self.train_loader:
+            d = self._put(batch)
+            self.key, sub = jax.random.split(self.key)
+            self.state, loss = self._train_step(
+                self.state, d["img_pre"], d["img_post"], d["msk"],
+                d["lbl_msk"], sub)
+            losses.append(loss)
+        mean_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        self.logger.write(f"epoch: {epoch}; lr {lr:.7f}; Loss {mean_loss:.4f}\n")
+        return mean_loss
+
+    def validate(self) -> dict:
+        dices, tps, fps, fns = [], [], [], []
+        for batch in self.val_loader:
+            d = self._put(batch)
+            dd, tp, fp, fn = self._eval_step(
+                self.state.params, self.state.batch_stats,
+                d["img_pre"], d["img_post"], d["msk"], d["lbl_msk"])
+            dices.append(np.asarray(dd))
+            tps.append(np.asarray(tp))
+            fps.append(np.asarray(fp))
+            fns.append(np.asarray(fn))
+        d0 = float(np.mean(np.concatenate(dices))) if dices else 0.0
+        if self.task != "damage":
+            self.logger.write(f"Val Dice: {d0:.5f}\n")
+            return {"score": d0, "dice_loc": d0}
+        tp = np.sum(tps, axis=0)
+        fp = np.sum(fps, axis=0)
+        fn = np.sum(fns, axis=0)
+        f1_sc = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
+        f1 = 4.0 / np.sum(1.0 / (f1_sc + 1e-6))
+        sc = 0.3 * d0 + 0.7 * f1
+        self.logger.write(
+            f"Val Score: {sc:.5f}, Dice: {d0:.5f}, F1: {f1:.5f}, "
+            f"F1_0: {f1_sc[0]:.5f}, F1_1: {f1_sc[1]:.5f}, "
+            f"F1_2: {f1_sc[2]:.5f}, F1_3: {f1_sc[3]:.5f}\n")
+        return {"score": float(sc), "dice_loc": d0, "damage_f1": float(f1),
+                "class_f1": f1_sc.tolist()}
+
+    def evaluate_and_checkpoint(self, epoch: int) -> dict:
+        scores = self.validate()
+        if scores["score"] > self.best_score:
+            self.best_score = scores["score"]
+            save_checkpoint(self.checkpoint_dir, "best_ckpt", self.state,
+                            {"epoch": epoch + 1,
+                             "best_score": self.best_score})
+        self.logger.write(
+            f"score: {scores['score']}\tscore_best: {self.best_score}\n")
+        return scores
+
+    def train_models(self, eval_every: int = 2):
+        for epoch in range(self.epoch_to_start, self.max_epochs):
+            self.train_one_epoch(epoch)
+            if epoch % eval_every == 0:
+                self.evaluate_and_checkpoint(epoch)
+        return self.state

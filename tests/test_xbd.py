@@ -1,0 +1,155 @@
+"""xBD pipeline tests: mask rules, augmentation, engine smoke."""
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dahitra_tpu.data.xbd import (XBDPairs, build_damage_masks,
+                                  load_xbd_pairs, scan_xbd_files,
+                                  split_and_upsample)
+from dahitra_tpu.data.xbd_augment import augment_xbd, normalize_xbd
+
+XBD_ROOT = "/root/reference/data/xbd/train"
+
+
+def reference_train_masks(msk0, lbl_msk1):
+    """Literal transcription of the rules at train.py:144-174 (oracle)."""
+    msks = [msk0] + [np.where(lbl_msk1 == c, 255, 0) for c in range(1, 5)]
+    msk = np.stack(msks, axis=2) > 127
+    msk[..., 0] = False
+    msk[..., 1][msk[..., 2:].max(axis=2)] = False
+    msk[..., 3][msk[..., 2]] = False
+    msk[..., 4][msk[..., 2]] = False
+    msk[..., 4][msk[..., 3]] = False
+    msk[..., 0][msk[..., 1:].max(axis=2)] = True
+    return (msk * 1), msk.argmax(axis=2)
+
+
+def test_train_mask_rules_match_reference_oracle():
+    rng = np.random.default_rng(0)
+    loc = (rng.random((32, 32)) > 0.6).astype(np.uint8) * 255
+    dmg = rng.integers(0, 5, (32, 32)).astype(np.uint8)
+    ours_msk, ours_lbl = build_damage_masks(loc, dmg, train=True)
+    ref_msk, ref_lbl = reference_train_masks(loc, dmg)
+    np.testing.assert_array_equal(ours_msk, ref_msk)
+    np.testing.assert_array_equal(ours_lbl, ref_lbl)
+
+
+def test_val_mask_keeps_loc_channel():
+    rng = np.random.default_rng(1)
+    loc = (rng.random((16, 16)) > 0.5).astype(np.uint8) * 255
+    dmg = rng.integers(0, 5, (16, 16)).astype(np.uint8)
+    msk, lbl = build_damage_masks(loc, dmg, train=False)
+    np.testing.assert_array_equal(msk[..., 0], (loc > 127).astype(np.int32))
+    # lbl = argmax over damage channels only (train.py:235).
+    np.testing.assert_array_equal(
+        lbl, np.stack([(dmg == c) for c in range(1, 5)], -1).argmax(-1))
+
+
+@pytest.mark.skipif(not os.path.isdir(XBD_ROOT), reason="fixture absent")
+def test_scan_and_split_fixture():
+    files = scan_xbd_files([XBD_ROOT])
+    assert len(files) == 5 and all("_pre_disaster" in f for f in files)
+    train_idx, val_idx = split_and_upsample(files, seed=0)
+    assert len(val_idx) == 1
+    assert set(train_idx).isdisjoint(set(val_idx))
+
+
+@pytest.mark.skipif(not os.path.isdir(XBD_ROOT), reason="fixture absent")
+def test_load_xbd_pairs_cropped():
+    files = scan_xbd_files([XBD_ROOT])[:2]
+    pairs = load_xbd_pairs(files, train=True, crop_size=128)
+    assert pairs.img_pre.shape == (2, 128, 128, 3)
+    assert pairs.msk.shape == (2, 128, 128, 5)
+    assert pairs.msk.max() <= 1
+
+
+def test_xbd_augment_eval_path_is_normalize_only():
+    rng = np.random.default_rng(2)
+    pre = rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8)
+    post = rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8)
+    msk = rng.integers(0, 2, (2, 16, 16, 5)).astype(np.uint8)
+    lbl = rng.integers(0, 4, (2, 16, 16)).astype(np.uint8)
+    img6, m, l = augment_xbd(jnp.array(pre), jnp.array(post), jnp.array(msk),
+                             jnp.array(lbl), jax.random.PRNGKey(0), train=False)
+    expected = np.concatenate([pre, post], -1).astype(np.float32) / 127.0 - 1.0
+    np.testing.assert_allclose(np.asarray(img6), expected, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m), msk)
+
+
+def test_xbd_augment_train_path_shapes_and_mask_integrity():
+    rng = np.random.default_rng(3)
+    pre = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    post = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    msk = rng.integers(0, 2, (4, 32, 32, 5)).astype(np.uint8)
+    lbl = rng.integers(0, 5, (4, 32, 32)).astype(np.uint8)
+    img6, m, l = augment_xbd(jnp.array(pre), jnp.array(post), jnp.array(msk),
+                             jnp.array(lbl), jax.random.PRNGKey(5), train=True)
+    assert img6.shape == (4, 32, 32, 6)
+    # Masks stay binary under nearest resampling.
+    vals = np.unique(np.asarray(m))
+    assert set(vals.tolist()) <= {0.0, 1.0}
+    assert np.asarray(l).max() <= 4
+
+
+def test_xbd_trainer_smoke(tmp_path):
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    n, s = 2, 64
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": rng.integers(0, 2, (n, s, s, 5)).astype(np.uint8),
+        "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
+    }
+    args = argparse.Namespace(
+        net_G="xbd_dahitra", img_size=s, batch_size=2, val_batch_size=2,
+        lr=0.0, max_epochs=1, checkpoint_dir=str(tmp_path), bf16=False,
+        seed=0, warm_start_from=None)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    trainer = XBDTrainer(args, arrays, arrays, mesh=mesh, task="damage")
+    trainer.train_one_epoch(0)
+    scores = trainer.evaluate_and_checkpoint(0)
+    assert 0.0 <= scores["score"] <= 1.0
+    assert os.path.exists(os.path.join(str(tmp_path), "best_ckpt"))
+
+
+def test_xbd_loc_trainer_smoke(tmp_path):
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    n, s = 2, 32
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": rng.integers(0, 2, (n, s, s, 5)).astype(np.uint8),
+        "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
+    }
+    args = argparse.Namespace(
+        net_G="xbd_res34_loc", img_size=s, batch_size=2, val_batch_size=2,
+        lr=0.0, max_epochs=1, checkpoint_dir=str(tmp_path), bf16=False,
+        seed=0, warm_start_from=None)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    trainer = XBDTrainer(args, arrays, arrays, mesh=mesh, task="loc")
+    trainer.train_one_epoch(0)
+    scores = trainer.evaluate_and_checkpoint(0)
+    assert "dice_loc" in scores
+
+
+def test_tta_roundtrip():
+    from dahitra_tpu.cli.xbd_predict import tta_views, untta_mean
+
+    rng = np.random.default_rng(4)
+    x = jnp.array(rng.random((8, 8, 6)).astype(np.float32))
+    views = tta_views(x)
+    assert views.shape == (4, 8, 8, 6)
+    # If the "model" is identity, un-TTA must reproduce the input exactly.
+    np.testing.assert_allclose(np.asarray(untta_mean(views)), np.asarray(x),
+                               atol=1e-6)
