@@ -11,10 +11,13 @@ from typing import Any, Callable, Dict
 import jax.numpy as jnp
 
 from dahitra_tpu.models.bit import BIT
+from dahitra_tpu.models.changeformer import ChangeFormerV6
 from dahitra_tpu.models.dahitra import DAHiTraUNet
 from dahitra_tpu.models.res34_unet import Res34UnetDouble, Res34UnetLoc
 from dahitra_tpu.models.resnet_cd import ResNetCD
 from dahitra_tpu.models.siam_unet_conc import SiamUnetConc
+from dahitra_tpu.models.unet_change_transformer import (
+    UNetChangeTransformer, UNetChangeTwoTransformer)
 
 _REGISTRY: Dict[str, Callable[..., Any]] = {}
 
@@ -64,6 +67,21 @@ def _bit_t8_e2d4(dtype=jnp.float32, **kw):
 def _dahitra(dtype=jnp.float32, img_size: int = 256, output_nc: int = 2, **kw):
     return DAHiTraUNet(output_nc=output_nc, img_size=img_size,
                        token_len=4, enc_depth=1, dtype=dtype)
+
+
+@register("unet_coupled_trans_256")
+def _unet_trans(dtype=jnp.float32, img_size: int = 256, **kw):
+    return UNetChangeTransformer(output_nc=2, img_size=img_size, dtype=dtype)
+
+
+@register("unet_coupled_two_trans_256")
+def _unet_two_trans(dtype=jnp.float32, img_size: int = 256, **kw):
+    return UNetChangeTwoTransformer(output_nc=2, img_size=img_size, dtype=dtype)
+
+
+@register("changeFormerV6")
+def _changeformer_v6(dtype=jnp.float32, output_nc: int = 2, **kw):
+    return ChangeFormerV6(output_nc=output_nc, dtype=dtype)
 
 
 @register("siamUnet_conc")

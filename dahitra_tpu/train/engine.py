@@ -68,8 +68,9 @@ class CDTrainer:
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         self.key, init_key = jax.random.split(key)
         dummy = jnp.zeros((1, args.img_size, args.img_size, 3), self.dtype)
+        k1, k2 = jax.random.split(init_key)
         variables = jax.jit(functools.partial(self.model.init, train=True))(
-            init_key, dummy, dummy)
+            {"params": k1, "dropout": k2}, dummy, dummy)
         self.tx = make_optimizer(args.lr, weight_decay=0.01)
         state = TrainState.create(variables, self.tx)
         # Replicate the state across the mesh.
@@ -96,6 +97,7 @@ class CDTrainer:
     # ---------------- jitted step functions ----------------
 
     def _train_step_impl(self, state: TrainState, a_u8, b_u8, l_u8, key):
+        key, drop_key = jax.random.split(key)
         a, b, label = augment_pairs(a_u8, b_u8, l_u8, key, train=True,
                                     dtype=self.dtype)
         bs = a.shape[0]
@@ -103,7 +105,13 @@ class CDTrainer:
         def loss_fn(params):
             logits, mut = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                a, b, True, mutable=["batch_stats"])
+                a, b, True, mutable=["batch_stats"],
+                rngs={"dropout": drop_key})
+            if isinstance(logits, (list, tuple)):
+                # Multi-scale heads (ChangeFormer): train/evaluate on the
+                # full-resolution output, like the evaluator's [-1]
+                # (models/evaluator.py:161-162).
+                logits = logits[-1]
             loss = levir_train_loss(logits.astype(jnp.float32), label, bs)
             return loss, (logits, mut["batch_stats"])
 
@@ -123,6 +131,8 @@ class CDTrainer:
         logits = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             a, b, False)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[-1]
         return batch_confusion_matrix(jnp.argmax(logits, -1), label, self.n_class)
 
     # ---------------- epoch loops ----------------

@@ -75,12 +75,14 @@ class XBDTrainer:
         self.key, init_key = jax.random.split(key)
         in_ch = 6 if task == "damage" else 3
         dummy = jnp.zeros((1, args.img_size, args.img_size, in_ch), self.dtype)
+        k1, k2 = jax.random.split(init_key)
+        rngs = {"params": k1, "dropout": k2}
         if task == "damage":
             variables = jax.jit(
-                lambda k, x: self.model.init(k, x, None, True))(init_key, dummy)
+                lambda r, x: self.model.init(r, x, None, True))(rngs, dummy)
         else:
             variables = jax.jit(
-                lambda k, x: self.model.init(k, x, True))(init_key, dummy)
+                lambda r, x: self.model.init(r, x, True))(rngs, dummy)
 
         warm = getattr(args, "warm_start_from", None)
         if warm:
@@ -139,22 +141,27 @@ class XBDTrainer:
 
     # ---------------- jitted steps ----------------
 
-    def _apply_model(self, params, batch_stats, img6, train):
+    def _apply_model(self, params, batch_stats, img6, train, drop_key=None):
         variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": drop_key} if (train and drop_key is not None) else None
         if self.task == "damage":
             return self.model.apply(variables, img6, None, train,
-                                    mutable=["batch_stats"] if train else False)
+                                    mutable=["batch_stats"] if train else False,
+                                    rngs=rngs)
         return self.model.apply(variables, img6, train,
-                                mutable=["batch_stats"] if train else False)
+                                mutable=["batch_stats"] if train else False,
+                                rngs=rngs)
 
     def _train_step_impl(self, state: TrainState, pre, post, msk, lbl, key):
+        key, drop_key = jax.random.split(key)
         img6, masks, _ = augment_xbd(pre, post, msk, lbl, key, train=True,
                                      dtype=self.dtype)
         if self.task != "damage":
             img6 = img6[..., :3]
 
         def loss_fn(params):
-            logits, mut = self._apply_model(params, state.batch_stats, img6, True)
+            logits, mut = self._apply_model(params, state.batch_stats, img6,
+                                            True, drop_key)
             logits = logits.astype(jnp.float32)
             if self.task == "damage":
                 loss = xbd_damage_loss(logits, masks)
