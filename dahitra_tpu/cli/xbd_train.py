@@ -22,7 +22,15 @@ from dahitra_tpu.train.xbd_engine import XBDTrainer
 def main(argv=None):
     parser = ArgumentParser()
     parser.add_argument("--data_root", default="/root/reference/data/xbd/train")
-    parser.add_argument("--task", default="damage", choices=["damage", "loc"])
+    parser.add_argument("--task", default="damage",
+                        choices=["damage", "loc", "adapt", "gan"])
+    parser.add_argument("--disasters", nargs="*", default=None,
+                        help="filter file names by substrings "
+                             "(train_adapt.py:73 uses hurricane-michael/AOI)")
+    parser.add_argument("--effective_gan", action="store_true",
+                        help="give the GAN generator a real adversarial "
+                             "gradient (the reference detaches it, "
+                             "train_GAN.py:374)")
     parser.add_argument("--net_G", default="xbd_dahitra")
     parser.add_argument("--img_size", default=1024, type=int,
                         help="crop size (1024 = full tile, train.py:67)")
@@ -41,17 +49,28 @@ def main(argv=None):
     args = parser.parse_args(argv)
     args.checkpoint_dir = os.path.join(args.checkpoint_root, args.project_name)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
-    if args.task == "loc":
-        args.net_G = "xbd_res34_loc" if args.net_G == "xbd_dahitra" else args.net_G
+    if args.task == "loc" and args.net_G == "xbd_dahitra":
+        args.net_G = "xbd_res34_loc"
+    if args.task == "adapt" and args.net_G == "xbd_dahitra":
+        args.net_G = "xbd_adapt_res34"
 
-    files = scan_xbd_files([args.data_root])
+    files = scan_xbd_files([args.data_root], disasters=args.disasters)
     train_idx, val_idx = split_and_upsample(files, seed=args.seed)
+    merge = args.task == "adapt"
     train_pairs = load_xbd_pairs([files[i] for i in train_idx], train=True,
-                                 crop_size=args.img_size, seed=args.seed)
+                                 crop_size=args.img_size, seed=args.seed,
+                                 merge_34=merge, color_normalize=merge)
     val_pairs = load_xbd_pairs([files[i] for i in val_idx], train=False,
-                               crop_size=args.img_size, seed=args.seed)
-    trainer = XBDTrainer(args, train_pairs.arrays(), val_pairs.arrays(),
-                         task=args.task)
+                               crop_size=args.img_size, seed=args.seed,
+                               merge_34=merge, color_normalize=merge)
+    if args.task == "gan":
+        from dahitra_tpu.train.xbd_engine import GANTrainer
+
+        trainer = GANTrainer(args, train_pairs.arrays(), val_pairs.arrays(),
+                             effective_gan=args.effective_gan)
+    else:
+        trainer = XBDTrainer(args, train_pairs.arrays(), val_pairs.arrays(),
+                             task=args.task)
     trainer.train_models(eval_every=args.eval_every)
 
 

@@ -84,15 +84,34 @@ def split_and_upsample(all_files: Sequence[str], seed: int = 0
     return np.asarray(train_idxs, np.int64), np.asarray(val_idxs, np.int64)
 
 
+def ida_color_normalize(img: np.ndarray) -> np.ndarray:
+    """xBD -> IdaBD color-statistics renormalization
+    (xBD_code/train_adapt.py:81-85)."""
+    x = (img.astype(np.float64) - [87.4, 96.4, 74.7]) / [41.8, 37.8, 37.9]
+    x = x * [44.7, 38.7, 33.8] + [75.1, 74.3, 56.4]
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
 def build_damage_masks(loc_msk: np.ndarray, dmg_msk: np.ndarray,
-                       train: bool) -> Tuple[np.ndarray, np.ndarray]:
+                       train: bool, merge_34: bool = False
+                       ) -> Tuple[np.ndarray, np.ndarray]:
     """5-channel one-hot mask stack + integer label map.
 
     ``loc_msk``: pre mask (footprints, 0/255 or 0/1 scaled by 255 in xBD).
     ``dmg_msk``: post mask with class ids 0..4.
-    Returns (msk (H, W, 5) int, lbl_msk (H, W) int).
+    ``merge_34``: 4-channel domain-adaptation variant merging classes 3 and
+    4 into one "major/destroyed" channel (train_adapt.py:147-153).
+    Returns (msk (H, W, 5 or 4) int, lbl_msk (H, W) int).
     """
     chans = [loc_msk]
+    if merge_34:
+        chans.append(np.where(dmg_msk == 1, 255, 0).astype(loc_msk.dtype))
+        chans.append(np.where(dmg_msk == 2, 255, 0).astype(loc_msk.dtype))
+        chans.append(np.where((dmg_msk == 3) | (dmg_msk == 4), 255,
+                              0).astype(loc_msk.dtype))
+        msk = np.stack(chans, axis=-1) > 127
+        lbl = msk[..., 1:].argmax(axis=-1)
+        return msk.astype(np.int32), lbl.astype(np.int32)
     for c in range(1, 5):
         chans.append(np.where(dmg_msk == c, 255, 0).astype(loc_msk.dtype))
     msk = np.stack(chans, axis=-1) > 127
@@ -132,15 +151,22 @@ class XBDPairs:
 
 
 def load_xbd_pairs(files: Sequence[str], train: bool,
-                   crop_size: Optional[int] = None, seed: int = 0) -> XBDPairs:
+                   crop_size: Optional[int] = None, seed: int = 0,
+                   merge_34: bool = False,
+                   color_normalize: bool = False) -> XBDPairs:
     """Decode xBD tiles to host arrays. ``crop_size`` takes a random crop
-    for training (train.py:110-116) — a no-op at the native 1024."""
+    for training (train.py:110-116) — a no-op at the native 1024.
+    ``color_normalize`` applies the xBD->IdaBD renormalization used by the
+    domain-adaptation trainer (train_adapt.py:81-85)."""
     rng = np.random.RandomState(seed)
     pre_l, post_l, msk_l, lbl_l = [], [], [], []
     for fn in files:
         pre = np.array(Image.open(fn).convert("RGB"))
         post = np.array(Image.open(
             fn.replace("_pre_disaster", "_post_disaster")).convert("RGB"))
+        if color_normalize:
+            pre = ida_color_normalize(pre)
+            post = ida_color_normalize(post)
         loc = np.array(Image.open(pre_mask_path(fn)))
         dmg = np.array(Image.open(post_mask_path(fn)))
         if crop_size and crop_size < pre.shape[0]:
@@ -154,7 +180,7 @@ def load_xbd_pairs(files: Sequence[str], train: bool,
         # scale small-valued masks up so the >127 threshold works.
         if loc.max() == 1:
             loc = loc * 255
-        msk, lbl = build_damage_masks(loc, dmg, train)
+        msk, lbl = build_damage_masks(loc, dmg, train, merge_34=merge_34)
         pre_l.append(pre)
         post_l.append(post)
         msk_l.append(msk.astype(np.uint8))

@@ -191,3 +191,64 @@ def xbd_localization_loss(logits: jax.Array, mask: jax.Array) -> jax.Array:
     """ComboLoss{dice:1, focal:10} on the single loc channel (train_loc.py:310)."""
     seg = ComboLoss({"dice": 1.0, "focal": 10.0})
     return seg(logits[..., 0] if logits.ndim == 4 else logits, mask)
+
+
+def _masks_to_class_target(masks: jax.Array) -> jax.Array:
+    """Invert channel 0 then argmax over channels — the CE target used by
+    the adaptation/GAN recipes (train_adapt.py:332-334, train_GAN.py:366-368)."""
+    inv = masks.at[..., 0].set(1.0 - masks[..., 0])
+    return jnp.argmax(inv, axis=-1)
+
+
+def xbd_adapt_loss(logits: jax.Array, masks4: jax.Array) -> jax.Array:
+    """Domain-adaptation loss (train_adapt.py:320-340): per-channel
+    ComboLoss{dice:1, focal:8} weighted [0.1, 0.8, 2, 8] over the 4 merged
+    channels + 5x weighted CE (weights [0.1, 0.5, 1.5, 1.5])."""
+    from dahitra_tpu.losses.cd import cross_entropy
+
+    seg = ComboLoss({"dice": 1.0, "focal": 8.0})
+    w = (0.1, 0.8, 2.0, 8.0)
+    loss = jnp.float32(0.0)
+    for i, wi in enumerate(w):
+        loss = loss + wi * seg(logits[..., i], masks4[..., i])
+    target = _masks_to_class_target(masks4.astype(jnp.float32))
+    loss = loss + 5.0 * cross_entropy(logits, target,
+                                      weight=jnp.array([0.1, 0.5, 1.5, 1.5]))
+    return loss
+
+
+def bce_with_logits(logits: jax.Array, target: jax.Array) -> jax.Array:
+    return stable_bce(logits, target)
+
+
+def xbd_gan_generator_loss(logits: jax.Array, masks5: jax.Array,
+                           disc_fake_logits: jax.Array,
+                           effective_gan: bool = False) -> jax.Array:
+    """GAN-trainer generator loss (train_GAN.py:364-377):
+    seg ComboLoss{dice:1, focal:8} on the loc channel + 5x weighted CE
+    (weights [0.1, 0.5, 1.5, 1.5, 1.5]) + 0.01 * BCE(D(pred), 1).
+
+    Reference quirk: the adversarial term is computed on ``out.detach()``
+    (train_GAN.py:374) so NO gradient reaches the generator from it; we
+    replicate with stop_gradient unless ``effective_gan`` enables the
+    intended path (the caller controls where disc_fake_logits came from).
+    """
+    from dahitra_tpu.losses.cd import cross_entropy
+
+    seg = ComboLoss({"dice": 1.0, "focal": 8.0})
+    loss = seg(logits[..., 0], masks5[..., 0])
+    target = _masks_to_class_target(masks5.astype(jnp.float32))
+    loss = loss + 5.0 * cross_entropy(
+        logits, target, weight=jnp.array([0.1, 0.5, 1.5, 1.5, 1.5]))
+    adv = bce_with_logits(disc_fake_logits, jnp.ones_like(disc_fake_logits))
+    if not effective_gan:
+        adv = jax.lax.stop_gradient(adv)
+    return loss + 0.01 * adv
+
+
+def xbd_gan_discriminator_loss(real_logits: jax.Array,
+                               fake_logits: jax.Array) -> jax.Array:
+    """0.1 * (BCE(D(real), 1) + BCE(D(fake), 0)) / 2 (train_GAN.py:350-361)."""
+    l1 = bce_with_logits(real_logits, jnp.ones_like(real_logits))
+    l0 = bce_with_logits(fake_logits, jnp.zeros_like(fake_logits))
+    return 0.1 * (l1 + l0) / 2.0

@@ -116,6 +116,20 @@ def _xbd_res34_double(dtype=jnp.float32, **kw):
     return Res34UnetDouble(output_nc=5, dtype=dtype)
 
 
+@register("xbd_adapt_res34")
+def _xbd_adapt_res34(dtype=jnp.float32, **kw):
+    """4-class (merged major/destroyed) domain-adaptation model
+    (xBD_code/train_adapt.py:55-58,145-153)."""
+    return Res34UnetDouble(output_nc=4, dtype=dtype)
+
+
+@register("xbd_adapt_dahitra")
+def _xbd_adapt_dahitra(dtype=jnp.float32, img_size: int = 1024, **kw):
+    return DAHiTraUNet(output_nc=4, input_nc=6, img_size=img_size,
+                       token_len=4, enc_depth=1, pos_coarsest_only=True,
+                       dtype=dtype)
+
+
 @register("xbd_bit")
 def _xbd_bit(dtype=jnp.float32, **kw):
     """xBD_code/train.py:54-55: BIT, 5-class."""

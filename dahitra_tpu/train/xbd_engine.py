@@ -38,7 +38,10 @@ from dahitra_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
 from dahitra_tpu.core.state import TrainState
 from dahitra_tpu.data.loader import BatchLoader
 from dahitra_tpu.data.xbd_augment import augment_xbd
-from dahitra_tpu.losses.combo import xbd_damage_loss, xbd_localization_loss
+from dahitra_tpu.losses.combo import (xbd_adapt_loss, xbd_damage_loss,
+                                      xbd_gan_discriminator_loss,
+                                      xbd_gan_generator_loss,
+                                      xbd_localization_loss)
 from dahitra_tpu.models.registry import define_g
 from dahitra_tpu.train.optim import (XBD_MULTISTEP_MILESTONES, epoch_lr,
                                      make_optimizer, set_learning_rate)
@@ -73,16 +76,16 @@ class XBDTrainer:
 
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         self.key, init_key = jax.random.split(key)
-        in_ch = 6 if task == "damage" else 3
+        in_ch = 3 if task == "loc" else 6
         dummy = jnp.zeros((1, args.img_size, args.img_size, in_ch), self.dtype)
         k1, k2 = jax.random.split(init_key)
         rngs = {"params": k1, "dropout": k2}
-        if task == "damage":
-            variables = jax.jit(
-                lambda r, x: self.model.init(r, x, None, True))(rngs, dummy)
-        else:
+        if task == "loc":
             variables = jax.jit(
                 lambda r, x: self.model.init(r, x, True))(rngs, dummy)
+        else:
+            variables = jax.jit(
+                lambda r, x: self.model.init(r, x, None, True))(rngs, dummy)
 
         warm = getattr(args, "warm_start_from", None)
         if warm:
@@ -144,11 +147,11 @@ class XBDTrainer:
     def _apply_model(self, params, batch_stats, img6, train, drop_key=None):
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = {"dropout": drop_key} if (train and drop_key is not None) else None
-        if self.task == "damage":
-            return self.model.apply(variables, img6, None, train,
+        if self.task == "loc":
+            return self.model.apply(variables, img6, train,
                                     mutable=["batch_stats"] if train else False,
                                     rngs=rngs)
-        return self.model.apply(variables, img6, train,
+        return self.model.apply(variables, img6, None, train,
                                 mutable=["batch_stats"] if train else False,
                                 rngs=rngs)
 
@@ -156,7 +159,7 @@ class XBDTrainer:
         key, drop_key = jax.random.split(key)
         img6, masks, _ = augment_xbd(pre, post, msk, lbl, key, train=True,
                                      dtype=self.dtype)
-        if self.task != "damage":
+        if self.task == "loc":
             img6 = img6[..., :3]
 
         def loss_fn(params):
@@ -165,6 +168,8 @@ class XBDTrainer:
             logits = logits.astype(jnp.float32)
             if self.task == "damage":
                 loss = xbd_damage_loss(logits, masks)
+            elif self.task == "adapt":
+                loss = xbd_adapt_loss(logits, masks)
             else:
                 loss = xbd_localization_loss(logits, masks[..., 0])
             return loss, mut["batch_stats"]
@@ -180,23 +185,24 @@ class XBDTrainer:
         img6, masks, lbl_i = augment_xbd(pre, post, msk, lbl,
                                          jax.random.PRNGKey(0), train=False,
                                          dtype=self.dtype)
-        if self.task != "damage":
+        if self.task == "loc":
             img6 = img6[..., :3]
         logits = self._apply_model(params, batch_stats, img6, False)
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         loc_gt = masks[..., 0] > 0
         loc_pred = probs[..., 0] > self.thr
         dices = _dice_per_image(loc_pred, loc_gt)
-        if self.task != "damage":
+        if self.task == "loc":
             z = jnp.zeros((4,), jnp.int32)
             return dices, z, z, z
+        n_dmg = masks.shape[-1] - 1  # 4 damage classes, or 3 in adapt mode
         dmg_pred = jnp.argmax(probs[..., 1:], axis=-1)
         dmg_pred = dmg_pred * loc_pred.astype(dmg_pred.dtype)
         valid = loc_gt  # intended xView2 masking (see module docstring)
         tp = jnp.zeros((4,), jnp.int32)
         fp = jnp.zeros((4,), jnp.int32)
         fn = jnp.zeros((4,), jnp.int32)
-        for c in range(4):
+        for c in range(n_dmg):
             p_c = (dmg_pred == c) & valid
             t_c = (lbl_i == c) & valid
             tp = tp.at[c].add(jnp.sum(p_c & t_c))
@@ -239,7 +245,7 @@ class XBDTrainer:
             fps.append(np.asarray(fp))
             fns.append(np.asarray(fn))
         d0 = float(np.mean(np.concatenate(dices))) if dices else 0.0
-        if self.task != "damage":
+        if self.task == "loc":
             self.logger.write(f"Val Dice: {d0:.5f}\n")
             return {"score": d0, "dice_loc": d0}
         tp = np.sum(tps, axis=0)
@@ -272,3 +278,115 @@ class XBDTrainer:
             if epoch % eval_every == 0:
                 self.evaluate_and_checkpoint(epoch)
         return self.state
+
+
+class GANTrainer(XBDTrainer):
+    """Adversarial damage trainer (xBD_code/train_GAN.py:310-395).
+
+    Adds a mask Discriminator (conv 5->3 + resnet18 -> 1000 logits) with its
+    own AdamW(1e-4, wd 1e-6); the discriminator updates every 8 generator
+    steps on BCE vs all-ones/all-zeros labels. The reference's generator
+    adversarial term is computed on detached logits (train_GAN.py:374) and
+    carries no gradient — replicated via stop_gradient unless
+    ``effective_gan`` is set.
+    """
+
+    def __init__(self, args, train_arrays, val_arrays, mesh=None,
+                 effective_gan: bool = False):
+        super().__init__(args, train_arrays, val_arrays, mesh=mesh,
+                         task="damage")
+        from dahitra_tpu.models.discriminator import Discriminator
+
+        self.effective_gan = effective_gan
+        self.disc = Discriminator(input_nc=5, dtype=self.dtype)
+        dkey = jax.random.PRNGKey(getattr(args, "seed", 0) + 99)
+        dummy_masks = jnp.zeros((1, args.img_size, args.img_size, 5),
+                                self.dtype)
+        d_vars = jax.jit(lambda k, m: self.disc.init(k, m, True))(
+            dkey, dummy_masks)
+        self.d_tx = make_optimizer(1e-4, weight_decay=1e-6)
+        self.d_state = jax.device_put(TrainState.create(d_vars, self.d_tx),
+                                      replicated_sharding(self.mesh))
+        self._gan_step = jax.jit(self._gan_step_impl, donate_argnums=(0, 1),
+                                 static_argnames=("update_disc",))
+
+    def _disc_apply(self, d_state, masks, train):
+        return self.disc.apply(
+            {"params": d_state.params, "batch_stats": d_state.batch_stats},
+            masks, train, mutable=["batch_stats"] if train else False)
+
+    def _gan_step_impl(self, state, d_state, pre, post, msk, lbl, key,
+                       update_disc: bool = False):
+        key, drop_key = jax.random.split(key)
+        img6, masks, _ = augment_xbd(pre, post, msk, lbl, key, train=True,
+                                     dtype=self.dtype)
+
+        # Discriminator step (every 8 iters in the reference).
+        if update_disc:
+            gen_out, _ = self._apply_model(state.params, state.batch_stats,
+                                           img6, True, drop_key)
+            gen_out = jax.lax.stop_gradient(gen_out)
+
+            def d_loss_fn(d_params):
+                dv = {"params": d_params, "batch_stats": d_state.batch_stats}
+                real, mut = self.disc.apply(dv, masks.astype(self.dtype), True,
+                                            mutable=["batch_stats"])
+                fake, mut = self.disc.apply(
+                    {"params": d_params, "batch_stats": mut["batch_stats"]},
+                    gen_out, True, mutable=["batch_stats"])
+                return xbd_gan_discriminator_loss(
+                    real.astype(jnp.float32), fake.astype(jnp.float32)), \
+                    mut["batch_stats"]
+
+            (d_loss, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_state.params)
+            d_updates, d_opt = self.d_tx.update(d_grads, d_state.opt_state,
+                                                d_state.params)
+            d_state = d_state.replace(
+                step=d_state.step + 1,
+                params=optax.apply_updates(d_state.params, d_updates),
+                batch_stats=d_bs, opt_state=d_opt)
+        else:
+            d_loss = jnp.float32(0.0)
+
+        # Generator step.
+        def g_loss_fn(params):
+            logits, mut = self._apply_model(params, state.batch_stats, img6,
+                                            True, drop_key)
+            logits = logits.astype(jnp.float32)
+            fake_in = logits if self.effective_gan \
+                else jax.lax.stop_gradient(logits)
+            fake_logits, _ = self._disc_apply(d_state,
+                                              fake_in.astype(self.dtype), True)
+            loss = xbd_gan_generator_loss(logits, masks,
+                                          fake_logits.astype(jnp.float32),
+                                          effective_gan=self.effective_gan)
+            return loss, mut["batch_stats"]
+
+        (g_loss, new_bs), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        state = state.replace(step=state.step + 1,
+                              params=optax.apply_updates(state.params, updates),
+                              batch_stats=new_bs, opt_state=new_opt)
+        return state, d_state, g_loss, d_loss
+
+    def train_one_epoch(self, epoch: int):
+        lr = epoch_lr(self.base_lr, epoch, "multistep", self.max_epochs,
+                      milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6)
+        self.state = self.state.replace(
+            opt_state=set_learning_rate(self.state.opt_state, lr))
+        g_losses, d_losses = [], []
+        for i, batch in enumerate(self.train_loader):
+            d = self._put(batch)
+            self.key, sub = jax.random.split(self.key)
+            self.state, self.d_state, g_loss, d_loss = self._gan_step(
+                self.state, self.d_state, d["img_pre"], d["img_post"],
+                d["msk"], d["lbl_msk"], sub, update_disc=(i % 8 == 0))
+            g_losses.append(g_loss)
+            d_losses.append(d_loss)
+        g = float(np.mean([float(l) for l in g_losses])) if g_losses else 0.0
+        dl = float(np.mean([float(l) for l in d_losses])) if d_losses else 0.0
+        self.logger.write(
+            f"epoch: {epoch}; lr {lr:.7f}; Loss {g:.4f}; loss_D {dl:.4f}\n")
+        return g
