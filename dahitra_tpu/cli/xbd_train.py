@@ -23,7 +23,7 @@ def main(argv=None):
     parser = ArgumentParser()
     parser.add_argument("--data_root", default="/root/reference/data/xbd/train")
     parser.add_argument("--task", default="damage",
-                        choices=["damage", "loc", "adapt", "gan"])
+                        choices=["damage", "loc", "adapt", "gan", "hrnet"])
     parser.add_argument("--disasters", nargs="*", default=None,
                         help="filter file names by substrings "
                              "(train_adapt.py:73 uses hurricane-michael/AOI)")
@@ -53,6 +53,8 @@ def main(argv=None):
         args.net_G = "xbd_res34_loc"
     if args.task == "adapt" and args.net_G == "xbd_dahitra":
         args.net_G = "xbd_adapt_res34"
+    if args.task == "hrnet" and args.net_G == "xbd_dahitra":
+        args.net_G = "dual_hrnet"
 
     files = scan_xbd_files([args.data_root], disasters=args.disasters)
     train_idx, val_idx = split_and_upsample(files, seed=args.seed)

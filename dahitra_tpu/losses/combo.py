@@ -246,6 +246,35 @@ def xbd_gan_generator_loss(logits: jax.Array, masks5: jax.Array,
     return loss + 0.01 * adv
 
 
+def dual_hrnet_loss(out: dict, masks5: jax.Array) -> jax.Array:
+    """Dual-HRNet split loss (xBD_code/train_dual_hrnet.py:318-346).
+
+    loc: ComboLoss{dice:1, focal:8} on ``argmax`` of the 2-class loc logits
+    (train_dual_hrnet.py:337-338 — the argmax makes this term carry no
+    gradient, replicated via stop_gradient; the training signal is the cls
+    term). cls: 5x weighted CE (weights [0.1, 2, 1, 2]) vs the argmax of
+    the damage mask channels. Both heads are bilinearly upsampled to the
+    mask resolution first (:334-335).
+    """
+    from dahitra_tpu.losses.cd import cross_entropy
+
+    h, w = masks5.shape[1], masks5.shape[2]
+    loc = out["loc"].astype(jnp.float32)
+    cls = out["cls"].astype(jnp.float32)
+    loc = jax.image.resize(loc, (loc.shape[0], h, w, loc.shape[-1]), "bilinear")
+    cls = jax.image.resize(cls, (cls.shape[0], h, w, cls.shape[-1]), "bilinear")
+
+    loc_pred = jax.lax.stop_gradient(
+        jnp.argmax(loc, axis=-1).astype(jnp.float32))
+    seg = ComboLoss({"dice": 1.0, "focal": 8.0})
+    loss_seg = seg(loc_pred, masks5[..., 0])
+
+    true_bldg = jnp.argmax(masks5[..., 1:], axis=-1)
+    loss_cls = 5.0 * cross_entropy(cls, true_bldg,
+                                   weight=jnp.array([0.1, 2.0, 1.0, 2.0]))
+    return loss_seg + loss_cls
+
+
 def xbd_gan_discriminator_loss(real_logits: jax.Array,
                                fake_logits: jax.Array) -> jax.Array:
     """0.1 * (BCE(D(real), 1) + BCE(D(fake), 0)) / 2 (train_GAN.py:350-361)."""

@@ -97,7 +97,11 @@ class BIT(nn.Module):
         seq = self.transformer_decoder(seq, tokens)
         return seq.reshape(b, h, w, c)
 
-    def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x1: jax.Array, x2: jax.Array = None,
+                 train: bool = False) -> jax.Array:
+        if x2 is None:
+            # xBD 6-channel convention (xBD_code/zoo/models.py:1549-1552).
+            x1, x2 = x1[..., :3], x1[..., 3:]
         f1 = self.forward_single(x1, train)
         f2 = self.forward_single(x2, train)
         t1 = self.tokenizer(f1)

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from dahitra_tpu.models.bit import BIT
 from dahitra_tpu.models.changeformer import ChangeFormerV6
+from dahitra_tpu.models.dual_hrnet import DualHRNet
 from dahitra_tpu.models.dahitra import DAHiTraUNet
 from dahitra_tpu.models.res34_unet import Res34UnetDouble, Res34UnetLoc
 from dahitra_tpu.models.resnet_cd import ResNetCD
@@ -128,6 +129,64 @@ def _xbd_adapt_dahitra(dtype=jnp.float32, img_size: int = 1024, **kw):
     return DAHiTraUNet(output_nc=4, input_nc=6, img_size=img_size,
                        token_len=4, enc_depth=1, pos_coarsest_only=True,
                        dtype=dtype)
+
+
+@register("xbd_seresnext50_loc")
+def _se50_loc(dtype=jnp.float32, **kw):
+    from dahitra_tpu.models.senet_unet import SeResNext50UnetLoc
+    return SeResNext50UnetLoc(dtype=dtype)
+
+
+@register("xbd_seresnext50_double")
+def _se50_double(dtype=jnp.float32, **kw):
+    from dahitra_tpu.models.senet_unet import SeResNext50UnetDouble
+    return SeResNext50UnetDouble(output_nc=5, dtype=dtype)
+
+
+@register("xbd_senet154_loc")
+def _se154_loc(dtype=jnp.float32, **kw):
+    from dahitra_tpu.models.senet_unet import SeNet154UnetLoc
+    return SeNet154UnetLoc(dtype=dtype)
+
+
+@register("xbd_senet154_double")
+def _se154_double(dtype=jnp.float32, **kw):
+    from dahitra_tpu.models.senet_unet import SeNet154UnetDouble
+    return SeNet154UnetDouble(output_nc=5, dtype=dtype)
+
+
+@register("xbd_dpn92_loc")
+def _dpn_loc(dtype=jnp.float32, **kw):
+    from dahitra_tpu.models.dpn_unet import Dpn92UnetLoc
+    return Dpn92UnetLoc(dtype=dtype)
+
+
+@register("xbd_dpn92_double")
+def _dpn_double(dtype=jnp.float32, **kw):
+    from dahitra_tpu.models.dpn_unet import Dpn92UnetDouble
+    return Dpn92UnetDouble(output_nc=5, dtype=dtype)
+
+
+@register("xbd_unet_change_transformer")
+def _xbd_uct(dtype=jnp.float32, img_size: int = 1024, **kw):
+    from dahitra_tpu.models.xbd_unet_change_transformer import (
+        XBDUNetChangeTransformer)
+    return XBDUNetChangeTransformer(output_nc=5, img_size=img_size,
+                                    use_bit=False, dtype=dtype)
+
+
+@register("xbd_unet_change_transformer_bit")
+def _xbd_uct_bit(dtype=jnp.float32, img_size: int = 1024, **kw):
+    from dahitra_tpu.models.xbd_unet_change_transformer import (
+        XBDUNetChangeTransformer)
+    return XBDUNetChangeTransformer(output_nc=5, img_size=img_size,
+                                    use_bit=True, dtype=dtype)
+
+
+@register("dual_hrnet")
+def _dual_hrnet(dtype=jnp.float32, **kw):
+    """xView2-baseline two-stream HRNet-W32 (xBD_code/dual_hrnet.py)."""
+    return DualHRNet(dtype=dtype)
 
 
 @register("xbd_bit")

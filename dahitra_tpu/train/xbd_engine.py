@@ -38,7 +38,8 @@ from dahitra_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
 from dahitra_tpu.core.state import TrainState
 from dahitra_tpu.data.loader import BatchLoader
 from dahitra_tpu.data.xbd_augment import augment_xbd
-from dahitra_tpu.losses.combo import (xbd_adapt_loss, xbd_damage_loss,
+from dahitra_tpu.losses.combo import (dual_hrnet_loss,
+                                      xbd_adapt_loss, xbd_damage_loss,
                                       xbd_gan_discriminator_loss,
                                       xbd_gan_generator_loss,
                                       xbd_localization_loss)
@@ -165,11 +166,14 @@ class XBDTrainer:
         def loss_fn(params):
             logits, mut = self._apply_model(params, state.batch_stats, img6,
                                             True, drop_key)
-            logits = logits.astype(jnp.float32)
+            if not isinstance(logits, dict):
+                logits = logits.astype(jnp.float32)
             if self.task == "damage":
                 loss = xbd_damage_loss(logits, masks)
             elif self.task == "adapt":
                 loss = xbd_adapt_loss(logits, masks)
+            elif self.task == "hrnet":
+                loss = dual_hrnet_loss(logits, masks)
             else:
                 loss = xbd_localization_loss(logits, masks[..., 0])
             return loss, mut["batch_stats"]
@@ -188,7 +192,16 @@ class XBDTrainer:
         if self.task == "loc":
             img6 = img6[..., :3]
         logits = self._apply_model(params, batch_stats, img6, False)
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if isinstance(logits, dict):
+            h, w = masks.shape[1], masks.shape[2]
+            loc = jax.image.resize(logits["loc"].astype(jnp.float32),
+                                   (masks.shape[0], h, w, 2), "bilinear")
+            cls = jax.image.resize(logits["cls"].astype(jnp.float32),
+                                   (masks.shape[0], h, w, 4), "bilinear")
+            loc_p = jax.nn.softmax(loc, -1)[..., 1:2]
+            probs = jnp.concatenate([loc_p, jax.nn.sigmoid(cls)], axis=-1)
+        else:
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         loc_gt = masks[..., 0] > 0
         loc_pred = probs[..., 0] > self.thr
         dices = _dice_per_image(loc_pred, loc_gt)

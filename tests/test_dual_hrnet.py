@@ -1,0 +1,70 @@
+"""Dual-HRNet model and trainer tests."""
+import argparse
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dahitra_tpu.models import available_models, define_g
+
+
+def test_dual_hrnet_registered():
+    assert "dual_hrnet" in available_models()
+
+
+def test_dual_hrnet_outputs_quarter_res():
+    model = define_g("dual_hrnet")
+    key = jax.random.PRNGKey(0)
+    x6 = jax.random.normal(key, (1, 64, 64, 6))
+    variables = jax.jit(lambda k, x: model.init(k, x, None, False))(key, x6)
+    out = model.apply(variables, x6, None, False)
+    assert out["loc"].shape == (1, 16, 16, 2)
+    assert out["cls"].shape == (1, 16, 16, 4)
+    # Two fused HRNet-W32 streams.
+    p = variables["params"]
+    assert "loc_net" in p and "cls_net" in p
+    assert any(k.startswith("fuse_loc") for k in p)
+
+
+def test_dual_hrnet_loss_signal_is_cls_only():
+    """The loc term argmaxes logits (train_dual_hrnet.py:337) — gradient-free;
+    the cls CE carries the signal."""
+    from dahitra_tpu.losses.combo import dual_hrnet_loss
+
+    rng = np.random.default_rng(0)
+    out = {"loc": jnp.array(rng.normal(size=(1, 8, 8, 2)).astype(np.float32)),
+           "cls": jnp.array(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))}
+    masks = jnp.array((rng.random((1, 32, 32, 5)) > 0.6).astype(np.float32))
+    val = float(dual_hrnet_loss(out, masks))
+    assert np.isfinite(val)
+    g = jax.grad(lambda loc: dual_hrnet_loss({"loc": loc, "cls": out["cls"]},
+                                             masks))(out["loc"])
+    assert float(jnp.abs(g).max()) == 0.0
+    g2 = jax.grad(lambda cls: dual_hrnet_loss({"loc": out["loc"], "cls": cls},
+                                              masks))(out["cls"])
+    assert float(jnp.abs(g2).max()) > 0.0
+
+
+def test_hrnet_trainer_smoke(tmp_path):
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    n, s = 2, 32
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": rng.integers(0, 2, (n, s, s, 5)).astype(np.uint8),
+        "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
+    }
+    args = argparse.Namespace(
+        net_G="dual_hrnet", img_size=s, batch_size=2, val_batch_size=2,
+        lr=0.0, max_epochs=1, checkpoint_dir=str(tmp_path), bf16=False,
+        seed=0, warm_start_from=None)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    trainer = XBDTrainer(args, arrays, arrays, mesh=mesh, task="hrnet")
+    trainer.train_one_epoch(0)
+    scores = trainer.evaluate_and_checkpoint(0)
+    assert np.isfinite(scores["score"])
