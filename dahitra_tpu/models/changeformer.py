@@ -296,6 +296,65 @@ class DecoderTransformerV3(nn.Module):
         return outputs
 
 
+class ConvProjectionBase(nn.Module):
+    """Difference-image decoder (ChangeFormer.py:590-641): transpose-conv x2
+    ladder with 0.1-scaled residual blocks and per-scale skip additions."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, di: List[jax.Array]) -> jax.Array:
+        def crop_to(x, ref):
+            return x[:, :ref.shape[1], :ref.shape[2], :]
+
+        y = UpsampleConvX2(320, dtype=self.dtype, name="convd16x")(di[3])
+        y = ResidualBlock01(dtype=self.dtype, name="dense_4")(crop_to(y, di[2]))
+        y = y + di[2]
+        y = UpsampleConvX2(128, dtype=self.dtype, name="convd8x")(y)
+        y = ResidualBlock01(dtype=self.dtype, name="dense_3")(crop_to(y, di[1]))
+        y = y + di[1]
+        y = UpsampleConvX2(64, dtype=self.dtype, name="convd4x")(y)
+        y = ResidualBlock01(dtype=self.dtype, name="dense_2")(crop_to(y, di[0]))
+        y = y + di[0]
+        y = UpsampleConvX2(16, dtype=self.dtype, name="convd2x")(y)
+        y = ResidualBlock01(dtype=self.dtype, name="dense_1")(y)
+        y = UpsampleConvX2(8, dtype=self.dtype, name="convd1x")(y)
+        return y
+
+
+class ChangeFormerV1(nn.Module):
+    """models/ChangeFormer.py:643-674 — the basic ChangeFormer: the Tenc
+    SegFormer encoder (depths 3/4/6/3, qkv bias, stage-2+ patch size 3,
+    ChangeFormer.py:524-530; the V1 encoder also constructs intra-patch
+    blocks its forward never calls, :52-60 — not materialized here), per-
+    scale absolute feature differences, conv-projection ladder, 3x3 head.
+    """
+
+    output_nc: int = 2
+    decoder_softmax: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = EncoderTransformerV3(
+            embed_dims=(64, 128, 320, 512), num_heads=(1, 2, 4, 8),
+            depths=(3, 4, 6, 3), sr_ratios=(8, 4, 2, 1), patch_size=3,
+            drop=0.0, attn_drop=0.0, drop_path_rate=0.1, dtype=self.dtype,
+            name="Tenc")
+        self.convproj = ConvProjectionBase(dtype=self.dtype, name="convproj")
+        self.head = nn.Conv(self.output_nc, (3, 3), padding=1,
+                            dtype=self.dtype, name="change_probability")
+
+    def __call__(self, x1: jax.Array, x2: jax.Array,
+                 train: bool = False) -> jax.Array:
+        f1 = self.encoder(x1, train)
+        f2 = self.encoder(x2, train)
+        di = [jnp.abs(a - b) for a, b in zip(f1, f2)]
+        cp = self.head(self.convproj(di))
+        if self.decoder_softmax:
+            cp = jax.nn.softmax(cp, axis=-1)
+        return cp
+
+
 class ChangeFormerV6(nn.Module):
     """models/ChangeFormer.py:1657-1687."""
 

@@ -11,7 +11,7 @@ from typing import Any, Callable, Dict
 import jax.numpy as jnp
 
 from dahitra_tpu.models.bit import BIT
-from dahitra_tpu.models.changeformer import ChangeFormerV6
+from dahitra_tpu.models.changeformer import ChangeFormerV1, ChangeFormerV6
 from dahitra_tpu.models.dual_hrnet import DualHRNet
 from dahitra_tpu.models.dahitra import DAHiTraUNet
 from dahitra_tpu.models.res34_unet import Res34UnetDouble, Res34UnetLoc
@@ -78,6 +78,11 @@ def _unet_trans(dtype=jnp.float32, img_size: int = 256, **kw):
 @register("unet_coupled_two_trans_256")
 def _unet_two_trans(dtype=jnp.float32, img_size: int = 256, **kw):
     return UNetChangeTwoTransformer(output_nc=2, img_size=img_size, dtype=dtype)
+
+
+@register("changeFormer")
+def _changeformer_v1(dtype=jnp.float32, output_nc: int = 2, **kw):
+    return ChangeFormerV1(output_nc=output_nc, dtype=dtype)
 
 
 @register("changeFormerV6")

@@ -1,0 +1,68 @@
+"""Pallas fused-decoder parity vs the flax TransformerDecoder (interpret
+mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dahitra_tpu.nn import TransformerDecoder
+from dahitra_tpu.pallas.fused_decoder import (fused_transformer_decoder,
+                                              pack_decoder_params)
+
+
+@pytest.mark.parametrize("depth,heads,dim_head", [(2, 4, 64), (4, 8, 64)])
+def test_fused_decoder_matches_flax(depth, heads, dim_head, monkeypatch):
+    # Interpret mode: the kernel runs as pure JAX on CPU.
+    from jax.experimental import pallas as pl
+    import dahitra_tpu.pallas.fused_decoder as fd
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fd.pl, "pallas_call", interp_call)
+
+    dim, n, l, b = 32, 256, 4, 2
+    module = TransformerDecoder(dim=dim, depth=depth, heads=heads,
+                                dim_head=dim_head, mlp_dim=dim)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, n, dim), jnp.float32)
+    m = jax.random.normal(jax.random.PRNGKey(1), (b, l, dim), jnp.float32)
+    variables = module.init(key, x, m)
+    expected = module.apply(variables, x, m)
+
+    packed = pack_decoder_params(variables["params"], depth)
+    got = fused_transformer_decoder(x, m, packed, depth=depth, heads=heads,
+                                    tile=128, precise=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_decoder_bf16_inputs(monkeypatch):
+    from jax.experimental import pallas as pl
+    import dahitra_tpu.pallas.fused_decoder as fd
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        fd.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    dim, depth, heads = 32, 2, 4
+    module = TransformerDecoder(dim=dim, depth=depth, heads=heads,
+                                dim_head=64, mlp_dim=dim)
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (1, 128, dim), jnp.bfloat16)
+    m = jax.random.normal(jax.random.PRNGKey(3), (1, 4, dim), jnp.bfloat16)
+    variables = module.init(key, x.astype(jnp.float32), m.astype(jnp.float32))
+    packed = pack_decoder_params(variables["params"], depth)
+    got = fused_transformer_decoder(x, m, packed, depth=depth, heads=heads,
+                                    tile=128)
+    assert got.dtype == jnp.bfloat16
+    expected = module.apply(variables, x.astype(jnp.float32),
+                            m.astype(jnp.float32))
+    # bf16 MXU operands vs the fp32 flax reference: loose tolerance.
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(expected), rtol=5e-2, atol=5e-2)

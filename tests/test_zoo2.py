@@ -126,3 +126,13 @@ def test_res34_double_shared_core():
     assert out.shape == (1, 64, 64, 5)
     # The trunk is shared across dates: only one 'core' subtree.
     assert set(variables["params"].keys()) == {"core", "res"}
+
+
+def test_changeformer_v1_output_shape():
+    model = define_g("changeFormer")
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (1, 64, 64, 3))
+    variables = jax.jit(lambda k, a, b: model.init(k, a, b, False))(key, a, a)
+    out = model.apply(variables, a, a, False)
+    # Full-resolution single logits map (ChangeFormer.py:657-674).
+    assert out.shape == (1, 64, 64, 2)
