@@ -52,6 +52,8 @@ def build_parser() -> ArgumentParser:
                         help="bfloat16 compute (TPU MXU fast path)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--profile_dir", default=None, type=str,
+                        help="write a jax.profiler trace of epoch 0 here")
     return parser
 
 

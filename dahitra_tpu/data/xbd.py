@@ -64,14 +64,32 @@ def file_class_presence(all_files: Sequence[str]) -> np.ndarray:
     return out
 
 
-def split_and_upsample(all_files: Sequence[str], seed: int = 0
+def split_and_upsample(all_files: Sequence[str], seed: int = 0,
+                       policy: str = "random"
                        ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (train_idxs, val_idxs) with the reference's class-balance
-    upsampling (train.py:409-425)."""
+    """Returns (train_idxs, val_idxs) with class-balance upsampling.
+
+    policy='random': the xBD trainer's scheme (train.py:409-425) — split
+    first, keep building files, duplicate damaged files with prob 0.5.
+    policy='multi': xBDatasetMulti's deterministic scheme
+    (datasets/CD_dataset.py:233-249) — append each file once if any damage
+    class is present, again if minor/major present, THEN split 90/10
+    (random_state 10 in the reference; we use ``seed``).
+    """
     file_classes = file_class_presence(all_files)
+    if policy == "multi":
+        idxs = list(range(len(all_files)))
+        for i in range(len(file_classes)):
+            if file_classes[i, 1:].max():
+                idxs.append(i)
+            if file_classes[i, 1:3].max():
+                idxs.append(i)
+        train_pos, val_pos = train_test_split(
+            np.arange(len(idxs)), test_size=0.1, random_state=seed)
+        idxs = np.asarray(idxs, np.int64)
+        return idxs[train_pos], np.unique(idxs[val_pos])
     train_idxs0, val_idxs = train_test_split(
         np.arange(len(all_files)), test_size=0.1, random_state=seed)
-    rng = np.random.RandomState(seed + 321)
     import random as pyrandom
 
     pyrandom.seed(seed + 321)

@@ -147,6 +147,11 @@ class CDTrainer:
         self.state = self.state.replace(
             opt_state=set_learning_rate(self.state.opt_state, lr))
         self.logger.write(f"lr: {lr:.7f}\n")
+        # Native tracing: --profile_dir captures a jax.profiler trace of
+        # epoch 0 (the reference had wall-clock timing only, SURVEY.md §5).
+        profile_dir = getattr(self.args, "profile_dir", None)
+        if profile_dir and epoch == 0:
+            jax.profiler.start_trace(profile_dir)
         cms, losses, n_img = [], [], 0
         timer = Timer()
         for batch in self.train_loader:
@@ -157,6 +162,10 @@ class CDTrainer:
             cms.append(cm)
             losses.append(loss)
             n_img += len(batch["a"])
+        if profile_dir and epoch == 0:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self.logger.write(f"profiler trace written to {profile_dir}\n")
         total_cm = np.asarray(sum(cms)) if cms else np.zeros((self.n_class,) * 2)
         scores = cm2score(total_cm)
         imps = timer.images_per_sec(n_img)

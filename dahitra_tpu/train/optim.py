@@ -46,6 +46,24 @@ def epoch_lr(base_lr: float, epoch: int, policy: str, max_epochs: int,
     raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")
 
 
+def poly_lr(base_lr: float, step: int, max_step: int,
+            momentum: float = 0.9) -> float:
+    """PolyOptimizer curve (misc/torchutils.py:361-392): lr scales by
+    (1 - step/max_step)^0.9."""
+    return base_lr * (1.0 - min(step, max_step) / float(max_step)) ** momentum
+
+
+def sgdr_lr(base_lr: float, step: int, cycle_steps: int,
+            min_lr_ratio: float = 0.0) -> float:
+    """SGDR warm-restart cosine curve (misc/torchutils.py:430-466):
+    cosine-anneals within each restart cycle."""
+    import math
+
+    t = (step % cycle_steps) / float(cycle_steps)
+    lo = base_lr * min_lr_ratio
+    return lo + 0.5 * (base_lr - lo) * (1.0 + math.cos(math.pi * t))
+
+
 def make_optimizer(lr: float, weight_decay: float = 0.01,
                    b1: float = 0.9, b2: float = 0.999,
                    clip_norm: Optional[float] = None) -> optax.GradientTransformation:

@@ -122,3 +122,30 @@ def test_loader_pad_to_multiple_marks_ignore():
     assert [len(b["a"]) for b in batches] == [4, 4]
     assert (batches[1]["label"][1:] == 255).all()
     assert (batches[1]["label"][0] == 0).all()
+
+
+def test_multi_upsample_policy():
+    """xBDatasetMulti-style deterministic upsampling (CD_dataset.py:233-249)."""
+    import os
+    import pytest as _pytest
+    from dahitra_tpu.data.xbd import scan_xbd_files, split_and_upsample
+
+    root = "/root/reference/data/xbd/train"
+    if not os.path.isdir(root):
+        _pytest.skip("fixture absent")
+    files = scan_xbd_files([root])
+    tr, va = split_and_upsample(files, seed=0, policy="multi")
+    # Duplicated indices appear for damaged files; split covers everything.
+    assert len(tr) + len(va) >= len(files)
+
+
+def test_poly_and_sgdr_curves():
+    from dahitra_tpu.train.optim import poly_lr, sgdr_lr
+
+    assert poly_lr(1.0, 0, 100) == 1.0
+    assert poly_lr(1.0, 100, 100) == 0.0
+    assert poly_lr(1.0, 50, 100) == pytest.approx(0.5 ** 0.9)
+    assert sgdr_lr(1.0, 0, 10) == pytest.approx(1.0)
+    assert sgdr_lr(1.0, 5, 10) == pytest.approx(0.5)
+    # Warm restart: back to base at the cycle boundary.
+    assert sgdr_lr(1.0, 10, 10) == pytest.approx(1.0)
