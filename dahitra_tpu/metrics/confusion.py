@@ -31,15 +31,34 @@ def batch_confusion_matrix(pred: jax.Array, gt: jax.Array, num_classes: int) -> 
     Matches misc/metric_tool.py:143-154: pixels with gt outside
     [0, num_classes) (e.g. the 255 ignore label) are dropped. ``pred`` must
     already be class indices (argmax output).
+
+    Implemented as a one-hot contraction ``onehot(gt)^T @ onehot(pred)``
+    rather than a scatter-add: at n_class 2-5 this is one MXU matmul over
+    the pixel axis instead of a serialized scatter over millions of
+    elements (the TPU has no fast random scatter).
     """
     gt = gt.reshape(-1).astype(jnp.int32)
     pred = pred.reshape(-1).astype(jnp.int32)
-    valid = (gt >= 0) & (gt < num_classes)
-    # Route invalid pixels to bin 0 with weight 0.
-    idx = jnp.where(valid, gt * num_classes + pred, 0)
-    w = valid.astype(jnp.int32)
-    flat = jnp.zeros((num_classes * num_classes,), jnp.int32).at[idx].add(w)
-    return flat.reshape(num_classes, num_classes)
+    n = gt.shape[0]
+    # fp32 accumulation is exact up to 2^24 counts per cell; chunk the pixel
+    # axis so each matmul stays within that, summing chunks in int32.
+    chunk = 1 << 22
+    pad = (-n) % chunk
+    if pad:
+        gt = jnp.concatenate([gt, jnp.full((pad,), -1, jnp.int32)])
+        pred = jnp.concatenate([pred, jnp.zeros((pad,), jnp.int32)])
+    k = gt.shape[0] // chunk
+    gt = gt.reshape(k, chunk)
+    pred = pred.reshape(k, chunk)
+
+    def one(g, p):
+        valid = ((g >= 0) & (g < num_classes)).astype(jnp.bfloat16)
+        oh_gt = jax.nn.one_hot(g, num_classes, dtype=jnp.bfloat16) * valid[:, None]
+        oh_pr = jax.nn.one_hot(p, num_classes, dtype=jnp.bfloat16)
+        return jnp.einsum("nc,nk->ck", oh_gt, oh_pr,
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    return jnp.sum(jax.vmap(one)(gt, pred), axis=0)
 
 
 def cm2f1(cm: np.ndarray) -> float:
