@@ -110,12 +110,30 @@ class CDEvaluator:
         return staged
 
     def eval_models(self, save_vis: bool = False,
-                    device_cache: bool = False) -> dict:
+                    device_cache: bool = False,
+                    scan: bool = False) -> dict:
+        """``scan=True`` stages the dataset in HBM and evaluates the whole
+        epoch as ONE dispatch (requires equal batch sizes; fastest path —
+        see bench.py). ``device_cache=True`` stages but keeps per-batch
+        dispatches (allows vis/ragged tails)."""
         self.logger.write("Begin evaluation...\n")
         timer = Timer()
         cms, n_img = [], 0
         sh = batch_sharding(self.mesh, spatial=False)
-        if device_cache:
+        if scan:
+            staged = self.stage_on_device()
+            full = [t for t in staged if t[0].shape[0] == staged[0][0].shape[0]]
+            tail = staged[len(full):]
+            import jax.numpy as _jnp
+
+            stack = tuple(_jnp.stack([t[i] for t in full]) for i in range(3))
+            cms.append(self.eval_epoch_scan(stack))
+            n_img += sum(t[0].shape[0] for t in full)
+            for a, b, l in tail:  # ragged last batch, if any
+                cm, _ = self._eval_step(self.params, self.batch_stats, a, b, l)
+                cms.append(cm)
+                n_img += a.shape[0]
+        elif device_cache:
             for a, b, l in self.stage_on_device():
                 cm, _ = self._eval_step(self.params, self.batch_stats, a, b, l)
                 cms.append(cm)
