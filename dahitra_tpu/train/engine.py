@@ -102,15 +102,33 @@ class CDTrainer:
                                     dtype=self.dtype)
         bs = a.shape[0]
 
+        multi_scale = getattr(self.args, "multi_scale_loss", False)
+
         def loss_fn(params):
             logits, mut = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 a, b, True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
             if isinstance(logits, (list, tuple)):
-                # Multi-scale heads (ChangeFormer): train/evaluate on the
-                # full-resolution output, like the evaluator's [-1]
-                # (models/evaluator.py:161-162).
+                if multi_scale:
+                    # Deep supervision over the multi-scale heads with the
+                    # reference's weights [0.5, 0.5, 0.5, 0.8, 1.0] and
+                    # nearest-resized targets (the ChangeFormer training
+                    # recipe at models/trainer.py:271-285).
+                    weights = (0.5, 0.5, 0.5, 0.8, 1.0)
+                    loss = jnp.float32(0.0)
+                    for w, lg in zip(weights, logits):
+                        tgt = label
+                        if lg.shape[1] != label.shape[1]:
+                            tgt = jax.image.resize(
+                                label.astype(jnp.float32),
+                                (label.shape[0], lg.shape[1], lg.shape[2]),
+                                "nearest").astype(jnp.int32)
+                        loss = loss + w * levir_train_loss(
+                            lg.astype(jnp.float32), tgt, bs)
+                    return loss, (logits[-1], mut["batch_stats"])
+                # Default: full-resolution head only, like the evaluator's
+                # [-1] (models/evaluator.py:161-162).
                 logits = logits[-1]
             loss = levir_train_loss(logits.astype(jnp.float32), label, bs)
             return loss, (logits, mut["batch_stats"])

@@ -104,3 +104,24 @@ def test_loss_improves_on_overfit():
                 trainer.state, d["a"], d["b"], d["label"], sub)
             losses.append(float(loss))
         assert losses[-1] < losses[0], losses
+
+
+def test_multi_scale_loss_changeformer(tmp_path):
+    """Deep supervision path (trainer.py:271-285 recipe) trains ChangeFormerV6."""
+    from dahitra_tpu.train.engine import CDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    args = make_args(tmp_path, net_G="changeFormerV6", img_size=64,
+                     max_epochs=1, batch_size=2)
+    args.multi_scale_loss = True
+    arrays = synthetic_arrays(2, size=64)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    trainer = CDTrainer(args, arrays, arrays, mesh=mesh)
+    d = trainer._put(arrays)
+    state0 = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.state.params)
+    trainer.state, loss, cm = trainer._train_step(
+        trainer.state, d["a"], d["b"], d["label"], jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    changed = jax.tree.map(lambda a, b: not np.allclose(a, np.asarray(b)),
+                           state0, trainer.state.params)
+    assert any(jax.tree.leaves(changed))
