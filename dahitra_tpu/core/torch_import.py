@@ -227,6 +227,39 @@ def convert_bit(sd: Dict[str, np.ndarray], enc_depth: int = 1,
     return params, stats
 
 
+def convert_res34_unet(sd: Dict[str, np.ndarray], double: bool = True
+                       ) -> Tuple[dict, dict]:
+    """Res34_Unet_Loc/Double state_dict -> our Res34UnetLoc/Double variables.
+
+    Reference naming (xBD_code/zoo/models.py:491-646): the trunk is wrapped
+    as conv1=Sequential(conv, bn, relu) ('conv1.0/conv1.1'),
+    conv2=Sequential(maxpool, layer1) ('conv2.1.<block>'), conv3..5 =
+    layer2..4; decoder ConvRelu blocks are Sequential(conv, relu)
+    ('convN.layer.0'); head is 'res'.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    trunk_sd = {"conv1.weight": sd["conv1.0.weight"]}
+    for suf in ("weight", "bias", "running_mean", "running_var"):
+        trunk_sd[f"bn1.{suf}"] = sd[f"conv1.1.{suf}"]
+    for li, src in ((1, "conv2.1"), (2, "conv3"), (3, "conv4"), (4, "conv5")):
+        for k, v in sd.items():
+            if k.startswith(src + "."):
+                trunk_sd[f"layer{li}." + k[len(src) + 1:]] = v
+    p_trunk, s_trunk = convert_resnet_trunk(trunk_sd)
+    core_p: dict = {"resnet": p_trunk}
+    core_s: dict = {"resnet": s_trunk}
+    for n in ("conv6", "conv6_2", "conv7", "conv7_2", "conv8", "conv8_2",
+              "conv9", "conv9_2", "conv10"):
+        core_p[n] = {"conv": {"kernel": _conv(sd[f"{n}.layer.0.weight"]),
+                              "bias": sd[f"{n}.layer.0.bias"]}}
+    params["core"] = core_p
+    stats["core"] = core_s
+    params["res"] = {"kernel": _conv(sd["res.weight"]), "bias": sd["res.bias"]}
+    return params, stats
+
+
 def import_reference_checkpoint(path: str, net_g: str):
     """Load a reference .pt and convert by model key. Returns
     {"params": ..., "batch_stats": ...}."""
@@ -239,6 +272,10 @@ def import_reference_checkpoint(path: str, net_g: str):
         dec_depth = 8 if "dd8" in net_g else (4 if "e2d4" in net_g else 1)
         enc_depth = 2 if "e2d4" in net_g else 1
         params, stats = convert_bit(sd, enc_depth, dec_depth)
+    elif net_g in ("siamUnet", "xbd_res34_double", "xbd_adapt_res34"):
+        params, stats = convert_res34_unet(sd, double=True)
+    elif net_g == "xbd_res34_loc":
+        params, stats = convert_res34_unet(sd, double=False)
     else:
         raise NotImplementedError(f"no torch importer for {net_g}")
     return {"params": params, "batch_stats": stats}
