@@ -125,3 +125,26 @@ def test_multi_scale_loss_changeformer(tmp_path):
     changed = jax.tree.map(lambda a, b: not np.allclose(a, np.asarray(b)),
                            state0, trainer.state.params)
     assert any(jax.tree.leaves(changed))
+
+
+def test_scan_epoch_matches_loop_metrics(tmp_path):
+    """The one-dispatch scan epoch produces finite loss/CM and updates
+    params like the per-step loop."""
+    from dahitra_tpu.train.engine import CDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    arrays = synthetic_arrays(8, size=32)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+
+    args = make_args(tmp_path, project_name="scan", net_G="base_resnet18",
+                     img_size=32, batch_size=4, max_epochs=1)
+    args.scan_epoch = True
+    tr = CDTrainer(args, arrays, arrays, mesh=mesh)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), tr.state.params)
+    scores = tr.train_one_epoch(0)
+    assert 0.0 <= scores["mf1"] <= 1.0
+    changed = jax.tree.map(lambda a, b: not np.allclose(a, np.asarray(b)),
+                           p0, tr.state.params)
+    assert any(jax.tree.leaves(changed))
+    # Second epoch reuses the staged dataset (no re-stage crash).
+    tr.train_one_epoch(1)
