@@ -52,8 +52,10 @@ def main(argv=None):
         return jnp.argmax(logits, -1)
 
     cfg = get_data_config(args.data_name)
+    # Pure inference: labels are not consulted, so label-less demo splits
+    # are fine (basic_model.py:63-76 never reads labels either).
     pairs = load_levir_split(cfg.root_dir, args.split, args.img_size,
-                             cfg.label_transform)
+                             cfg.label_transform, allow_missing_labels=True)
     for i in range(len(pairs)):
         pred = np.asarray(predict(pairs.a[i:i + 1], pairs.b[i:i + 1]))[0]
         out = (pred * 255).astype(np.uint8)

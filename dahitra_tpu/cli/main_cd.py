@@ -61,15 +61,22 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--multi_scale_loss", action="store_true",
                         help="deep supervision over multi-scale heads "
                              "(ChangeFormer recipe, trainer.py:271-285)")
+    parser.add_argument("--allow_missing_labels", action="store_true",
+                        help="substitute all-zero labels for splits without "
+                             "a label dir (metrics on such splits are "
+                             "meaningless; off by default)")
     return parser
 
 
 def train(args):
     cfg = get_data_config(args.data_name)
+    allow = getattr(args, "allow_missing_labels", False)
     train_pairs = load_levir_split(cfg.root_dir, args.split, args.img_size,
-                                   cfg.label_transform)
+                                   cfg.label_transform,
+                                   allow_missing_labels=allow)
     val_pairs = load_levir_split(cfg.root_dir, args.split_val, args.img_size,
-                                 cfg.label_transform)
+                                 cfg.label_transform,
+                                 allow_missing_labels=allow)
     trainer = CDTrainer(args, pairs_to_arrays(train_pairs),
                         pairs_to_arrays(val_pairs))
     trainer.train_models()
@@ -81,7 +88,9 @@ def test(args):
     if not os.path.isdir(os.path.join(cfg.root_dir, split, "A")):
         split = args.split_val  # fixture data has no test split
     pairs = load_levir_split(cfg.root_dir, split, args.img_size,
-                             cfg.label_transform)
+                             cfg.label_transform,
+                             allow_missing_labels=getattr(
+                                 args, "allow_missing_labels", False))
     evaluator = CDEvaluator(args, pairs_to_arrays(pairs))
     evaluator.eval_models()
 

@@ -50,7 +50,8 @@ def crop_origin(img_width: int, img_size: int, patch: Optional[int] = None
 
 def load_levir_split(root_dir: str, split: str, img_size: int = 256,
                      label_transform: str = "norm",
-                     patch: Optional[int] = None) -> LevirPairs:
+                     patch: Optional[int] = None,
+                     allow_missing_labels: bool = False) -> LevirPairs:
     a_dir = os.path.join(root_dir, split, "A")
     names = sorted(os.listdir(a_dir))
     a_list, b_list, l_list = [], [], []
@@ -63,10 +64,15 @@ def load_levir_split(root_dir: str, split: str, img_size: int = 256,
             lbl = np.array(Image.open(lbl_path), dtype=np.uint8)
             if label_transform == "norm":
                 lbl = lbl // 255
-        else:
-            # Label-less splits (e.g. the in-tree val fixture ships only
-            # A/B); all-zero masks keep the pipeline runnable for inference.
+        elif allow_missing_labels:
+            # Label-less splits (e.g. inference-only demo data): all-zero
+            # masks keep the pipeline runnable, but callers must opt in —
+            # evaluating such a split would yield confidently wrong metrics.
             lbl = np.zeros(img_a.shape[:2], np.uint8)
+        else:
+            raise FileNotFoundError(
+                f"label missing for {name} at {lbl_path}; pass "
+                "allow_missing_labels=True for inference-only splits")
         origin = crop_origin(img_a.shape[1], img_size, patch)
         if origin is not None:
             y0, x0 = origin[1], origin[0]

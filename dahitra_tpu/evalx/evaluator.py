@@ -122,13 +122,17 @@ class CDEvaluator:
         sh = batch_sharding(self.mesh, spatial=False)
         if scan:
             staged = self.stage_on_device()
-            full = [t for t in staged if t[0].shape[0] == staged[0][0].shape[0]]
-            tail = staged[len(full):]
-            import jax.numpy as _jnp
+            # Select full batches by the loader's batch size (not staged[0],
+            # which breaks on an empty split or a single ragged batch).
+            bs = self.loader.batch_size
+            full = [t for t in staged if t[0].shape[0] == bs]
+            tail = [t for t in staged if t[0].shape[0] != bs]
+            if full:
+                import jax.numpy as _jnp
 
-            stack = tuple(_jnp.stack([t[i] for t in full]) for i in range(3))
-            cms.append(self.eval_epoch_scan(stack))
-            n_img += sum(t[0].shape[0] for t in full)
+                stack = tuple(_jnp.stack([t[i] for t in full]) for i in range(3))
+                cms.append(self.eval_epoch_scan(stack))
+                n_img += sum(t[0].shape[0] for t in full)
             for a, b, l in tail:  # ragged last batch, if any
                 cm, _ = self._eval_step(self.params, self.batch_stats, a, b, l)
                 cms.append(cm)

@@ -82,33 +82,53 @@ def focal_loss(
     target: jax.Array,
     alpha: float = 0.5,
     gamma: float = 2.0,
+    ignore_index=None,
 ) -> jax.Array:
     """Kornia-style softmax focal loss (models/losses.py:106-196).
 
     Replicates the reference's one-hot construction which adds 1e-6 to every
     class entry (models/losses.py:104), so each pixel contributes a small
-    term for every class, and the mean is over all pixels.
+    term for every class, and the mean is over all pixels. ``ignore_index``
+    (off by default — the reference has none) drops masked pixels from the
+    mean; the multi-device loader pads ragged tails with label 255 and those
+    pixels must not dilute the loss.
     """
     target = _squeeze_target(target)
     logits = logits.astype(jnp.float32)
     p = jax.nn.softmax(logits, axis=-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
+    if ignore_index is not None:
+        valid = (target != ignore_index).astype(jnp.float32)
+        tgt = jnp.where(target == ignore_index, 0, target)
+        one_hot = jax.nn.one_hot(tgt, logits.shape[-1], dtype=jnp.float32) + 1e-6
+        focal = -alpha * jnp.power(1.0 - p, gamma) * logp
+        per_px = jnp.sum(one_hot * focal, axis=-1) * valid
+        return jnp.sum(per_px) / jnp.maximum(jnp.sum(valid), 1.0)
     one_hot = jax.nn.one_hot(target, logits.shape[-1], dtype=jnp.float32) + 1e-6
     focal = -alpha * jnp.power(1.0 - p, gamma) * logp
     return jnp.mean(jnp.sum(one_hot * focal, axis=-1))
 
 
-def dice_argmax(logits: jax.Array, target: jax.Array) -> jax.Array:
+def dice_argmax(logits: jax.Array, target: jax.Array,
+                ignore_index=None) -> jax.Array:
     """Binary dice on ``sigmoid(argmax(logits))`` (models/losses.py:333-339).
 
     smp.DiceLoss(mode='binary') defaults to from_logits=True, so the
     reference feeds argmax outputs {0,1} through a sigmoid -> {0.5, 0.731}.
     The argmax blocks gradients; we make that explicit with stop_gradient.
     smp zeroes the loss when the ground-truth channel is empty.
+    ``ignore_index`` pixels (multi-device ragged-tail padding, label 255)
+    are excluded from intersection and cardinality.
     """
-    target = _squeeze_target(target).astype(jnp.float32)
+    target_i = _squeeze_target(target)
     pred = jnp.argmax(logits, axis=-1).astype(jnp.float32)
     pred = jax.lax.stop_gradient(jax.nn.sigmoid(pred))
+    if ignore_index is not None:
+        valid = (target_i != ignore_index).astype(jnp.float32)
+        pred = pred * valid
+        target = target_i.astype(jnp.float32) * valid
+    else:
+        target = target_i.astype(jnp.float32)
     inter = jnp.sum(pred * target)
     card = jnp.sum(pred) + jnp.sum(target)
     dice = (2.0 * inter) / jnp.maximum(card, 1e-7)
@@ -135,8 +155,12 @@ def levir_train_loss(logits: jax.Array, target: jax.Array, batch_size: int) -> j
     """The loss the LEVIR trainer actually optimizes (models/trainer.py:254-261).
 
     dice(argmax) + focal for batch>1, else weighted CE. ``batch_size`` is
-    static so the branch resolves at trace time.
+    static so the branch resolves at trace time. Label-255 pixels (the
+    loader's ragged-tail padding on multi-device meshes) are masked out of
+    every term; real LEVIR labels are {0, 1} so this is inert on the
+    reference path.
     """
     if batch_size != 1:
-        return dice_argmax(logits, target) + focal_loss(logits, target)
+        return (dice_argmax(logits, target, ignore_index=255)
+                + focal_loss(logits, target, ignore_index=255))
     return cross_entropy(logits, target)

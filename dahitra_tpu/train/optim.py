@@ -31,15 +31,25 @@ XBD_MULTISTEP_MILESTONES = (5, 11, 23, 29, 33, 47, 50, 60, 70, 90, 110, 130,
 
 def epoch_lr(base_lr: float, epoch: int, policy: str, max_epochs: int,
              milestones: Sequence[int] = LEVIR_MULTISTEP_MILESTONES,
-             gamma: float = 0.5) -> float:
-    """LR for a given epoch under the reference's policies."""
+             gamma: float = 0.5, after_epoch_step: bool = False) -> float:
+    """LR for a given epoch under the reference's policies.
+
+    ``after_epoch_step`` selects the xBD call pattern
+    ``scheduler.step(current_epoch)`` at epoch END (xBD_code/train.py:386,
+    train_loc.py:228, train_adapt.py:358, train_GAN.py:392): torch's
+    closed-form MultiStepLR then computes gamma^|{m <= epoch}| *for the
+    following epoch*, so each drop takes effect one epoch AFTER its
+    milestone. The LEVIR stack's no-arg ``scheduler.step()`` drops AT the
+    milestone epoch (the default here).
+    """
     if policy == "linear":
         return base_lr * (1.0 - epoch / float(max_epochs + 1))
     if policy == "step":
         step_size = max(max_epochs // 3, 1)
         return base_lr * (0.1 ** (epoch // step_size))
     if policy == "multistep":
-        n = sum(1 for m in milestones if epoch >= m)
+        e = epoch - 1 if after_epoch_step else epoch
+        n = sum(1 for m in milestones if e >= m)
         return base_lr * (gamma ** n)
     if policy == "constant":
         return base_lr

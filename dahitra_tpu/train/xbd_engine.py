@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from dahitra_tpu.core.checkpoint import load_checkpoint_raw, save_checkpoint
+from dahitra_tpu.core.checkpoint import (load_checkpoint,
+                                         load_checkpoint_raw, save_checkpoint)
 from dahitra_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
 from dahitra_tpu.core.state import TrainState
 from dahitra_tpu.data.loader import BatchLoader
@@ -110,6 +111,30 @@ class XBDTrainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         self.best_score = 0.0
         self.epoch_to_start = 0
+        self._maybe_resume()
+
+    def _maybe_resume(self):
+        """Resume a killed run from this task's own best_ckpt.
+
+        The reference loads a prior snapshot's weights and *prints* its
+        epoch/best_score but then resets ``best_score = 0`` and restarts at
+        epoch 0 (xBD_code/train.py:458-470) — a 100-epoch 1024px run that
+        dies restarts from zero. We restore the full TrainState plus
+        {epoch, best_score} metadata, mirroring CDTrainer._maybe_resume.
+        Warm starts from a *different* task's checkpoint still go through
+        ``warm_start_from`` (weights only).
+        """
+        restored = load_checkpoint(self.checkpoint_dir, "best_ckpt",
+                                   self.state)
+        if restored is None:
+            return
+        state, meta = restored
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        self.epoch_to_start = int(meta.get("epoch", 0))
+        self.best_score = float(meta.get("best_score", 0.0))
+        self.logger.write(
+            f"resumed best_ckpt: epoch_to_start={self.epoch_to_start}, "
+            f"best_score={self.best_score:.5f}\n")
 
     # ---------------- warm start ----------------
 
@@ -231,7 +256,8 @@ class XBDTrainer:
 
     def train_one_epoch(self, epoch: int):
         lr = epoch_lr(self.base_lr, epoch, "multistep", self.max_epochs,
-                      milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6)
+                      milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6,
+                      after_epoch_step=True)
         self.state = self.state.replace(
             opt_state=set_learning_rate(self.state.opt_state, lr))
         losses = []
@@ -248,8 +274,13 @@ class XBDTrainer:
 
     def validate(self) -> dict:
         dices, tps, fps, fns = [], [], [], []
+        n_dmg = 4
         for batch in self.val_loader:
             d = self._put(batch)
+            # adapt merges classes 3+4 so msk has 4 channels (loc + 3 damage)
+            # and the score averages only the real classes
+            # (train_adapt.py:284-287 uses 3-class harmonic F1).
+            n_dmg = d["msk"].shape[-1] - 1
             dd, tp, fp, fn = self._eval_step(
                 self.state.params, self.state.batch_stats,
                 d["img_pre"], d["img_post"], d["msk"], d["lbl_msk"])
@@ -261,16 +292,17 @@ class XBDTrainer:
         if self.task == "loc":
             self.logger.write(f"Val Dice: {d0:.5f}\n")
             return {"score": d0, "dice_loc": d0}
-        tp = np.sum(tps, axis=0)
-        fp = np.sum(fps, axis=0)
-        fn = np.sum(fns, axis=0)
+        tp = np.sum(tps, axis=0)[:n_dmg]
+        fp = np.sum(fps, axis=0)[:n_dmg]
+        fn = np.sum(fns, axis=0)[:n_dmg]
         f1_sc = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
-        f1 = 4.0 / np.sum(1.0 / (f1_sc + 1e-6))
+        f1 = float(n_dmg) / np.sum(1.0 / (f1_sc + 1e-6))
         sc = 0.3 * d0 + 0.7 * f1
+        per_class = ", ".join(
+            f"F1_{c}: {f1_sc[c]:.5f}" for c in range(n_dmg))
         self.logger.write(
             f"Val Score: {sc:.5f}, Dice: {d0:.5f}, F1: {f1:.5f}, "
-            f"F1_0: {f1_sc[0]:.5f}, F1_1: {f1_sc[1]:.5f}, "
-            f"F1_2: {f1_sc[2]:.5f}, F1_3: {f1_sc[3]:.5f}\n")
+            + per_class + "\n")
         return {"score": float(sc), "dice_loc": d0, "damage_f1": float(f1),
                 "class_f1": f1_sc.tolist()}
 
@@ -386,7 +418,8 @@ class GANTrainer(XBDTrainer):
 
     def train_one_epoch(self, epoch: int):
         lr = epoch_lr(self.base_lr, epoch, "multistep", self.max_epochs,
-                      milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6)
+                      milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6,
+                      after_epoch_step=True)
         self.state = self.state.replace(
             opt_state=set_learning_rate(self.state.opt_state, lr))
         g_losses, d_losses = [], []

@@ -101,6 +101,18 @@ def test_load_levir_fixture():
     assert set(np.unique(pairs.label)) <= {0, 1}  # //255 applied
 
 
+@pytest.mark.skipif(not os.path.isdir(FIXTURE_ROOT), reason="fixture absent")
+def test_load_levir_missing_labels_gated():
+    """Label-less splits (the in-tree val fixture ships only A/B) must raise
+    unless the caller opts into all-zero labels — evaluating fabricated
+    labels yields confidently wrong metrics."""
+    with pytest.raises(FileNotFoundError):
+        load_levir_split(FIXTURE_ROOT, "val", 256, "norm")
+    pairs = load_levir_split(FIXTURE_ROOT, "val", 256, "norm",
+                             allow_missing_labels=True)
+    assert (pairs.label == 0).all()
+
+
 def test_loader_shuffle_and_tail():
     arrays = {"a": np.arange(10)[:, None], "label": np.arange(10)[:, None]}
     loader = BatchLoader(arrays, batch_size=4, shuffle=True, seed=0)

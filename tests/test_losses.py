@@ -100,6 +100,21 @@ def test_levir_train_loss_branches():
     assert single == pytest.approx(torch_ce(logits, target, weight=[1.0, 1.0]), rel=1e-5)
 
 
+def test_levir_train_loss_ignores_padded_255_rows():
+    """Multi-device ragged-tail padding labels whole samples 255; the train
+    loss must equal the loss of the unpadded batch (ADVICE r1: 255s inflated
+    dice cardinality and diluted the focal mean)."""
+    logits, target = rand_logits_target(seed=8)
+    rng = np.random.default_rng(8)
+    pad_logits = rng.normal(size=(1,) + logits.shape[1:]).astype(np.float32)
+    logits_p = np.concatenate([logits, pad_logits], axis=0)
+    target_p = np.concatenate(
+        [target, np.full((1,) + target.shape[1:], 255, target.dtype)], axis=0)
+    clean = float(levir_train_loss(jnp.array(logits), jnp.array(target), batch_size=2))
+    padded = float(levir_train_loss(jnp.array(logits_p), jnp.array(target_p), batch_size=2))
+    assert padded == pytest.approx(clean, rel=1e-5)
+
+
 def test_ce_dice_is_unweighted_ce_plus_dice():
     logits, target = rand_logits_target(seed=7)
     ours = float(ce_dice(jnp.array(logits), jnp.array(target)))

@@ -48,3 +48,26 @@ def test_multistep_matches_torch():
                       milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6)
              for e in range(40)]
     np.testing.assert_allclose(ours2, ref2, rtol=1e-6)
+
+
+def test_multistep_xbd_step_with_epoch_arg():
+    """The xBD trainers call scheduler.step(current_epoch) at epoch END
+    (xBD_code/train.py:386), which shifts every gamma drop one epoch past
+    its milestone. Oracle replicates that exact call pattern."""
+    base = 1e-4
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # torch deprecates the epoch arg
+        sched = torch.optim.lr_scheduler.MultiStepLR(
+            opt, milestones=list(XBD_MULTISTEP_MILESTONES), gamma=0.6)
+        ref = []
+        for epoch in range(40):
+            ref.append(opt.param_groups[0]["lr"])  # lr used during `epoch`
+            sched.step(epoch)
+    ours = [epoch_lr(base, e, "multistep", 100,
+                     milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6,
+                     after_epoch_step=True)
+            for e in range(40)]
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)

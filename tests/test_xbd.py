@@ -119,6 +119,16 @@ def test_xbd_trainer_smoke(tmp_path):
     assert 0.0 <= scores["score"] <= 1.0
     assert os.path.exists(os.path.join(str(tmp_path), "best_ckpt"))
 
+    # Kill/restart resume: a fresh trainer on the same checkpoint_dir picks
+    # up {epoch, best_score} and the exact weights (the reference restarts
+    # 100-epoch runs from zero, xBD_code/train.py:468-470 — ours resumes).
+    trainer2 = XBDTrainer(args, arrays, arrays, mesh=mesh, task="damage")
+    assert trainer2.epoch_to_start == 1
+    assert trainer2.best_score == pytest.approx(scores["score"])
+    old = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    new = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
 
 def test_xbd_loc_trainer_smoke(tmp_path):
     from dahitra_tpu.train.xbd_engine import XBDTrainer

@@ -94,6 +94,11 @@ def test_adapt_trainer_smoke(tmp_path):
     trainer.train_one_epoch(0)
     scores = trainer.evaluate_and_checkpoint(0)
     assert np.isfinite(scores["score"])
+    # Adapt mode has 3 damage classes (train_adapt.py:284-287); the harmonic
+    # F1 must average only those — a phantom 4th class would collapse it to
+    # ~4e-6 and the score to ~0.3*dice.
+    assert len(scores["class_f1"]) == 3
+    assert scores["damage_f1"] > 1e-3
 
 
 def test_gan_trainer_smoke(tmp_path):
