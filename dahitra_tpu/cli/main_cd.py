@@ -61,6 +61,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--multi_scale_loss", action="store_true",
                         help="deep supervision over multi-scale heads "
                              "(ChangeFormer recipe, trainer.py:271-285)")
+    parser.add_argument("--init_type", default="normal", type=str,
+                        help="init_net weight init: normal|xavier|kaiming|"
+                             "orthogonal|none (networks.py:77-127)")
+    parser.add_argument("--init_gain", default=0.02, type=float)
     parser.add_argument("--allow_missing_labels", action="store_true",
                         help="substitute all-zero labels for splits without "
                              "a label dir (metrics on such splits are "

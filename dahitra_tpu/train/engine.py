@@ -43,6 +43,7 @@ from dahitra_tpu.data.loader import BatchLoader
 from dahitra_tpu.losses.cd import levir_train_loss
 from dahitra_tpu.metrics.confusion import batch_confusion_matrix, cm2f1, cm2score
 from dahitra_tpu.models.registry import define_g
+from dahitra_tpu.nn.init import init_weights_variables
 from dahitra_tpu.train.optim import epoch_lr, make_optimizer, set_learning_rate
 from dahitra_tpu.utils import Logger, Timer
 
@@ -68,9 +69,17 @@ class CDTrainer:
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         self.key, init_key = jax.random.split(key)
         dummy = jnp.zeros((1, args.img_size, args.img_size, 3), self.dtype)
-        k1, k2 = jax.random.split(init_key)
+        k1, k2, k3 = jax.random.split(init_key, 3)
         variables = jax.jit(functools.partial(self.model.init, train=True))(
             {"params": k1, "dropout": k2}, dummy, dummy)
+        # Reference init_net: every define_G model is re-initialized with
+        # init_type/gain (normal 0.02 by default) AFTER construction
+        # (models/networks.py:111-127). 'none' keeps flax defaults.
+        init_type = getattr(args, "init_type", "normal")
+        if init_type != "none":
+            variables = jax.jit(functools.partial(
+                init_weights_variables, init_type=init_type,
+                init_gain=getattr(args, "init_gain", 0.02)))(variables, k3)
         self.tx = make_optimizer(args.lr, weight_decay=0.01)
         state = TrainState.create(variables, self.tx)
         # Replicate the state across the mesh.

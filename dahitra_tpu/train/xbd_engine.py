@@ -45,6 +45,7 @@ from dahitra_tpu.losses.combo import (dual_hrnet_loss,
                                       xbd_gan_generator_loss,
                                       xbd_localization_loss)
 from dahitra_tpu.models.registry import define_g
+from dahitra_tpu.nn.init import zoo_ctor_init_variables
 from dahitra_tpu.train.optim import (XBD_MULTISTEP_MILESTONES, epoch_lr,
                                      make_optimizer, set_learning_rate)
 from dahitra_tpu.utils import Logger
@@ -88,6 +89,11 @@ class XBDTrainer:
         else:
             variables = jax.jit(
                 lambda r, x: self.model.init(r, x, None, True))(rngs, dummy)
+        # Zoo ctor kaiming: decoder convs + res head only (the modules built
+        # before the encoder attach, xBD_code/zoo/models.py:638-646); no-op
+        # for models whose reference ctor has no _initialize_weights.
+        k3 = jax.random.fold_in(init_key, 7)
+        variables = jax.jit(zoo_ctor_init_variables)(variables, k3)
 
         warm = getattr(args, "warm_start_from", None)
         if warm:

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from dahitra_tpu.models import available_models, define_g
 
+pytestmark = pytest.mark.slow  # zoo/engine compile-heavy
+
 
 def test_dual_hrnet_registered():
     assert "dual_hrnet" in available_models()

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from dahitra_tpu.models import BIT, DAHiTraUNet, ResNetCD, available_models, define_g
 
+pytestmark = pytest.mark.slow  # zoo/engine compile-heavy
+
 
 def init_and_run(model, shape=(1, 64, 64, 3), six_channel=False, train=False):
     key = jax.random.PRNGKey(0)

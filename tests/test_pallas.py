@@ -8,7 +8,11 @@ import jax.numpy as jnp
 
 from dahitra_tpu.nn import TransformerDecoder
 from dahitra_tpu.pallas.fused_decoder import (fused_transformer_decoder,
+
                                               pack_decoder_params)
+
+
+pytestmark = pytest.mark.slow  # compile-heavy
 
 
 @pytest.mark.parametrize("depth,heads,dim_head", [(2, 4, 64), (4, 8, 64)])

@@ -14,6 +14,7 @@ def test_eight_virtual_devices():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step(tmp_path):
     """Full train step over an 8-way data-parallel mesh: gradients sync via
     GSPMD (no explicit collectives in model code)."""
@@ -40,6 +41,7 @@ def test_data_parallel_train_step(tmp_path):
     assert any(jax.tree.leaves(changed))
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_loss(tmp_path):
     """The dp-sharded step computes the same loss as single-device (global
     BatchNorm means GSPMD reductions must be exact)."""
@@ -61,6 +63,7 @@ def test_dp_matches_single_device_loss(tmp_path):
     assert losses[0] == pytest.approx(losses[1], rel=2e-3)
 
 
+@pytest.mark.slow
 def test_spatial_sharding_forward():
     """Shard image rows over the 'space' axis; XLA inserts conv halo
     exchanges automatically (the 1024px xBD scaling path)."""

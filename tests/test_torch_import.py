@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from dahitra_tpu.core.torch_import import (convert_bit, convert_dahitra,
+
                                            convert_resnet_trunk)
+
+
+pytestmark = pytest.mark.slow  # compile-heavy
 
 
 def make_resnet18_state_dict(seed=0):

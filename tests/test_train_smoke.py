@@ -7,6 +7,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # zoo/engine compile-heavy
+
 
 def make_args(tmp_path, **over):
     d = dict(

@@ -96,6 +96,7 @@ def test_xbd_augment_train_path_shapes_and_mask_integrity():
     assert np.asarray(l).max() <= 4
 
 
+@pytest.mark.slow
 def test_xbd_trainer_smoke(tmp_path):
     from dahitra_tpu.train.xbd_engine import XBDTrainer
     from dahitra_tpu.core.mesh import make_mesh
@@ -130,6 +131,7 @@ def test_xbd_trainer_smoke(tmp_path):
     np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
 
+@pytest.mark.slow
 def test_xbd_loc_trainer_smoke(tmp_path):
     from dahitra_tpu.train.xbd_engine import XBDTrainer
     from dahitra_tpu.core.mesh import make_mesh

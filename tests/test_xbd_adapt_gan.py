@@ -80,6 +80,7 @@ def _tiny_arrays(n=2, s=32, channels=5, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_adapt_trainer_smoke(tmp_path):
     from dahitra_tpu.train.xbd_engine import XBDTrainer
     from dahitra_tpu.core.mesh import make_mesh
@@ -101,6 +102,7 @@ def test_adapt_trainer_smoke(tmp_path):
     assert scores["damage_f1"] > 1e-3
 
 
+@pytest.mark.slow
 def test_gan_trainer_smoke(tmp_path):
     from dahitra_tpu.train.xbd_engine import GANTrainer
     from dahitra_tpu.core.mesh import make_mesh

@@ -10,6 +10,8 @@ import flax.linen as fnn
 
 from dahitra_tpu.models import available_models, define_g
 
+pytestmark = pytest.mark.slow  # zoo/engine compile-heavy
+
 
 def test_new_registry_keys():
     for key in ["changeFormerV6", "siamUnet_conc", "siamUnet", "xbd_dahitra",

@@ -1,10 +1,13 @@
 """Third zoo wave: UNet bottleneck-transformer variants."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from dahitra_tpu.models import available_models, define_g
+
+pytestmark = pytest.mark.slow  # zoo/engine compile-heavy
 
 
 def test_unet_trans_registry_and_shapes():

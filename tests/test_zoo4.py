@@ -1,10 +1,13 @@
 """Fourth zoo wave: SE/DPN backbone UNets."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from dahitra_tpu.models import available_models, define_g
+
+pytestmark = pytest.mark.slow  # zoo/engine compile-heavy
 
 
 def test_se_dpn_registered():
