@@ -32,7 +32,7 @@ class BIT(nn.Module):
     token_len: int = 4
     resnet_stages_num: int = 4
     enc_depth: int = 1
-    dec_depth: int = 8
+    dec_depth: int = 1  # reference ctor default (networks.py:266)
     dim_head: int = 64
     decoder_dim_head: int = 64
     heads: int = 8

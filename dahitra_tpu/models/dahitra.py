@@ -15,9 +15,14 @@ BASE_Transformer_UNet). Architecture:
     (networks.py:1297-1318): 1x1-conv squeeze to 32ch (shared across
     dates), semantic tokens per date (token_len 4), joint transformer
     encode over the concatenated tokens (+learned pos emb), then the "V3"
-    difference decode — diff_token = |t2 - t1|, diff_x = conv3x3 of
-    cat(x1, x2), cross-attention decoder with a learned per-scale decoder
-    positional embedding.
+    difference decode — each date is FIRST decoded through the
+    cross-attention decoder with its own tokens (networks.py:1308-1310),
+    then diff_token = |t2 - t1|, diff_x = conv3x3 of cat(x1_dec, x2_dec),
+    and a final decoder pass; the learned per-scale decoder positional
+    embedding is added on every decoder call. (The xBD copy skips the
+    per-date decodes — see TransDiffModule.decode_dates.)
+    Forward parity vs the reference is asserted in
+    tests/test_oracle_parity.py.
   * Top-down fusion with nearest x2 upsamples and 3x3 convs
     (networks.py:1321-1357); the finest (1/2) level contributes through a
     conv-only TwoLayerConv2d on cat(a, b).
@@ -65,6 +70,10 @@ class TransDiffModule(nn.Module):
     with_pos: bool = True
     with_decoder_pos: bool = True
     decoder_softmax: bool = True
+    # LEVIR V3 decodes EACH date through the cross-attention decoder before
+    # the diff decode (networks.py:1308-1310); the xBD copy comments those
+    # two lines out (model_transformer_encoding.py:394-396).
+    decode_dates: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -91,6 +100,15 @@ class TransDiffModule(nn.Module):
         self.conv_decode = nn.Conv(self.dim, (3, 3), padding=1, use_bias=False,
                                    dtype=self.dtype, name="conv_decode")
 
+    def _decode(self, x: jax.Array, tokens: jax.Array) -> jax.Array:
+        """_forward_transformer_decoder (networks.py:1286-1294): the decoder
+        positional embedding is added on EVERY decoder call."""
+        b, h, w, c = x.shape
+        if self.with_decoder_pos:
+            x = x + self.pos_embedding_decoder
+        seq = self.decoder(x.reshape(b, h * w, c), tokens)
+        return seq.reshape(b, h, w, c)
+
     def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
         x1 = nn.relu(self.conv_squeeze(x1))
         x2 = nn.relu(self.conv_squeeze(x2))
@@ -101,15 +119,13 @@ class TransDiffModule(nn.Module):
             tokens = tokens + self.pos_embedding
         tokens = self.transformer(tokens)
         t1, t2 = jnp.split(tokens, 2, axis=1)
-        # V3 difference decoding (networks.py:1314-1318).
+        # V3 difference decoding (networks.py:1305-1318).
+        if self.decode_dates:
+            x1 = self._decode(x1, t1)
+            x2 = self._decode(x2, t2)
         diff_token = jnp.abs(t2 - t1)
         diff_x = self.conv_decode(jnp.concatenate([x1, x2], axis=-1))
-        b, h, w, c = diff_x.shape
-        if self.with_decoder_pos:
-            diff_x = diff_x + self.pos_embedding_decoder
-        seq = diff_x.reshape(b, h * w, c)
-        seq = self.decoder(seq, diff_token)
-        return seq.reshape(b, h, w, c)
+        return self._decode(diff_x, diff_token)
 
 
 class DAHiTraUNet(nn.Module):
@@ -134,7 +150,9 @@ class DAHiTraUNet(nn.Module):
     with_decoder_pos: bool = True
     # xBD-variant quirk (xBD_code/zoo/model_transformer_encoding.py:358-384):
     # the layer-index dispatch there only matches at the coarsest scale, so
-    # token/decoder positional embeddings are applied ONLY at level 5.
+    # token/decoder positional embeddings are applied ONLY at level 5. The
+    # xBD copy also comments out the per-date decoder passes of V3
+    # (model_transformer_encoding.py:394-396), so it uses decode_dates=False.
     pos_coarsest_only: bool = False
     dtype: Dtype = jnp.float32
 
@@ -151,19 +169,22 @@ class DAHiTraUNet(nn.Module):
             dec_depth=8, dec_heads=8, dec_dim_head=self.decoder_dim_head,
             pos_size=s // 4, with_pos=self.with_pos and fine_pos,
             with_decoder_pos=self.with_decoder_pos and fine_pos,
-            decoder_softmax=self.decoder_softmax, dtype=self.dtype, name="trans_3")
+            decoder_softmax=self.decoder_softmax, dtype=self.dtype,
+            decode_dates=not self.pos_coarsest_only, name="trans_3")
         self.trans_4 = TransDiffModule(
             enc_depth=self.enc_depth, enc_heads=4, enc_dim_head=self.dim_head,
             dec_depth=4, dec_heads=4, dec_dim_head=self.decoder_dim_head,
             pos_size=s // 8, with_pos=self.with_pos and fine_pos,
             with_decoder_pos=self.with_decoder_pos and fine_pos,
-            decoder_softmax=self.decoder_softmax, dtype=self.dtype, name="trans_4")
+            decoder_softmax=self.decoder_softmax, dtype=self.dtype,
+            decode_dates=not self.pos_coarsest_only, name="trans_4")
         self.trans_5 = TransDiffModule(
             enc_depth=self.enc_depth, enc_heads=4, enc_dim_head=self.dim_head,
             dec_depth=4, dec_heads=4, dec_dim_head=self.decoder_dim_head,
             pos_size=s // 16, with_pos=self.with_pos,
             with_decoder_pos=self.with_decoder_pos,
-            decoder_softmax=self.decoder_softmax, dtype=self.dtype, name="trans_5")
+            decoder_softmax=self.decoder_softmax, dtype=self.dtype,
+            decode_dates=not self.pos_coarsest_only, name="trans_5")
         self.conv_layer2_0 = TwoLayerConv(32, dtype=self.dtype, name="conv_layer2_0")
         self.conv_layer2 = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
                                    name="conv_layer2")
