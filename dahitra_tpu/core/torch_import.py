@@ -173,12 +173,17 @@ def convert_dahitra(sd: Dict[str, np.ndarray], xbd: bool = False
              _conv(sd[f"conv_token_{ref}.weight"]))
         _set(params, (ours, "conv_decode", "kernel"),
              _conv(sd[f"conv_decode_{ref}.weight"]))
-        has_pos = f"pos_embedding_{ref}" in sd and (not xbd or ref == "5")
-        if has_pos and f"pos_embedding_{ref}" in sd:
-            _set(params, (ours, "pos_embedding"), sd[f"pos_embedding_{ref}"])
-        if f"pos_embedding_decoder_{ref}" in sd and (not xbd or ref == "5"):
+        # xBD quirk: the forward's layer-index dispatch
+        # (model_transformer_encoding.py:358-378) adds the suffix-3 pos
+        # embeddings at the COARSEST scale (our trans_5) and none elsewhere.
+        pos_ref = ("3" if ref == "5" else None) if xbd else ref
+        if pos_ref is not None and f"pos_embedding_{pos_ref}" in sd:
+            _set(params, (ours, "pos_embedding"),
+                 sd[f"pos_embedding_{pos_ref}"])
+        if pos_ref is not None and f"pos_embedding_decoder_{pos_ref}" in sd:
             _set(params, (ours, "pos_embedding_decoder"),
-                 np.transpose(sd[f"pos_embedding_decoder_{ref}"], (0, 2, 3, 1)))
+                 np.transpose(sd[f"pos_embedding_decoder_{pos_ref}"],
+                              (0, 2, 3, 1)))
         _convert_transformer(sd, f"transformer_{ref}", enc_d, params,
                              (ours, "transformer"))
         _convert_decoder(sd, f"transformer_decoder_{ref}", dec_d, params,

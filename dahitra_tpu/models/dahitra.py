@@ -197,11 +197,16 @@ class DAHiTraUNet(nn.Module):
 
     def forward_single(self, x: jax.Array, train: bool
                        ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-        """4-scale trunk with the reference's pooling quirks
-        (networks.py:1118-1138)."""
+        """4-scale trunk (networks.py:1118-1138).
+
+        The reference source reads as if the maxpool consumed the PRE-ReLU
+        bn1 output (``x_2 = relu(x); x_2_pool = maxpool(x)``), but the
+        trunk's ``nn.ReLU(inplace=True)`` mutates ``x`` first, so the
+        effective stem is the standard post-ReLU pooling — verified
+        numerically in tests/test_oracle_parity.py."""
         pre = self.trunk.stem_preact(x, train)
         x_2 = nn.relu(pre)                      # 1/2, 64ch
-        x_pool = max_pool_3x3_s2(pre)           # quirk: pools PRE-ReLU bn1
+        x_pool = max_pool_3x3_s2(x_2)           # pools POST-ReLU (inplace)
         x_4 = self.trunk.layer1(x_pool, train)  # 1/4, 64ch
         x_8 = self.trunk.layer2(x_4, train)     # 1/8, 128ch
         x_8p = max_pool_3x3_s2(x_8)             # extra pool -> 1/16

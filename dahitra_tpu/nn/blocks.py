@@ -213,11 +213,11 @@ class TransformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         for i in range(self.depth):
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"attn_norm_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"attn_norm_{i}")(x)
             x = x + MultiHeadSelfAttention(
                 self.dim, self.heads, self.dim_head, self.dropout, self.dtype,
                 name=f"attn_{i}")(h, deterministic)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"ff_norm_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ff_norm_{i}")(x)
             x = x + FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype,
                                 name=f"ff_{i}")(h, deterministic)
         return x
@@ -242,11 +242,11 @@ class TransformerDecoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, m: jax.Array, deterministic: bool = True) -> jax.Array:
         for i in range(self.depth):
-            norm = nn.LayerNorm(dtype=jnp.float32, name=f"attn_norm_{i}")
+            norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"attn_norm_{i}")
             x = x + CrossAttention(
                 self.dim, self.heads, self.dim_head, self.dropout, self.softmax,
                 self.dtype, name=f"attn_{i}")(norm(x), norm(m), deterministic)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"ff_norm_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ff_norm_{i}")(x)
             x = x + FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype,
                                 name=f"ff_{i}")(h, deterministic)
         return x

@@ -84,7 +84,7 @@ def _gelu_exact(x):
 def _layer_norm(x, scale, bias):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
 
 
 def _make_mm(precise: bool):

@@ -80,6 +80,35 @@ def load_reference():
     return sys.modules["models"]
 
 
+def load_xbd_zoo():
+    """Import the reference xBD zoo (cwd-sensitive: it SourceFileLoader-loads
+    'zoo/bit_resnet.py' relative to cwd) and patch its pretrained-weight
+    downloads. Returns the zoo package namespace."""
+    import os
+
+    load_reference()
+    import torch
+
+    cwd = os.getcwd()
+    if "/root/reference/xBD_code" not in sys.path:
+        sys.path.insert(0, "/root/reference/xBD_code")
+    try:
+        os.chdir("/root/reference/xBD_code")
+        import zoo.model_transformer_encoding  # noqa: F401
+        import zoo.models  # noqa: F401
+    finally:
+        os.chdir(cwd)
+    bitmodule = sys.modules["bitmodule"]
+
+    def fake_load(url, progress=True, **kw):
+        arch = next(a for a in ("resnet18", "resnet34", "resnet50") if a in url)
+        torch.manual_seed(hash(arch) % 2**31)
+        return getattr(bitmodule, arch)(pretrained=False).state_dict()
+
+    bitmodule.load_state_dict_from_url = fake_load
+    return sys.modules["zoo"]
+
+
 def sd_numpy(net):
     """state_dict -> {name: np.ndarray} like state_dict_to_numpy on a file."""
     return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}

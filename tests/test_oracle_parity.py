@@ -46,7 +46,7 @@ def test_bit_forward_parity():
     b = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
     ref = torch_forward_nhwc(net, a, b)
     ours = _apply("base_transformer_pos_s4", variables, a, b, img_size=64)
-    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
 
 
 def test_bit_dd8_forward_parity():
@@ -65,7 +65,7 @@ def test_bit_dd8_forward_parity():
     ref = torch_forward_nhwc(net, a, b)
     ours = _apply("base_transformer_pos_s4_dd8",
                   {"params": p, "batch_stats": s}, a, b, img_size=64)
-    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
 
 
 def test_dahitra_forward_parity():
@@ -87,7 +87,41 @@ def test_dahitra_forward_parity():
     b = rng.normal(size=(1, 256, 256, 3)).astype(np.float32)
     ref = torch_forward_nhwc(net, a, b)
     ours = _apply("newUNetTrans", {"params": p, "batch_stats": s}, a, b)
-    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_xbd_dahitra_forward_parity():
+    """xBD BASE_Transformer_UNet (model_transformer_encoding.py:242-449),
+    'xbd_dahitra'. Quirks under test: pos embeddings only at the coarsest
+    scale AND sourced from the suffix-3 parameters (:358-378); per-date V3
+    decoder passes commented out (:394-396).
+
+    The reference hardcodes the coarsest decoder pos embedding for 1024px
+    inputs; we shrink that one parameter to 16x16 so the oracle runs at
+    256px (same code paths, 20x less CPU)."""
+    import torch
+    import torch.nn as nn
+
+    from ref_oracle import load_xbd_zoo
+
+    zoo = load_xbd_zoo()
+    torch.manual_seed(4)
+    net = zoo.model_transformer_encoding.BASE_Transformer_UNet(
+        input_nc=3, output_nc=5, token_len=4, resnet_stages_num=4,
+        with_pos='learned', with_decoder_pos='learned',
+        enc_depth=1, dec_depth=8).eval()
+    net.pos_embedding_decoder_3 = nn.Parameter(torch.randn(1, 32, 16, 16))
+    p, s = convert_dahitra(sd_numpy(net), xbd=True)
+    rng = np.random.default_rng(4)
+    x6 = rng.normal(size=(1, 256, 256, 6)).astype(np.float32)
+    import torch as _t
+    with _t.no_grad():
+        ref = net(_t.from_numpy(
+            np.transpose(x6, (0, 3, 1, 2)).copy()))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    ours = _apply("xbd_dahitra", {"params": p, "batch_stats": s}, x6,
+                  img_size=256)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
 
 
 def test_res34_unet_double_forward_parity():
@@ -106,4 +140,4 @@ def test_res34_unet_double_forward_parity():
     ref = torch_forward_nhwc(net, x6[..., :3], x6[..., 3:])
     ours = _apply("xbd_res34_double", {"params": p, "batch_stats": s}, x6,
                   img_size=64)
-    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
