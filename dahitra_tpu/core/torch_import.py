@@ -232,36 +232,233 @@ def convert_bit(sd: Dict[str, np.ndarray], enc_depth: int = 1,
     return params, stats
 
 
-def convert_res34_unet(sd: Dict[str, np.ndarray], double: bool = True
-                       ) -> Tuple[dict, dict]:
-    """Res34_Unet_Loc/Double state_dict -> our Res34UnetLoc/Double variables.
-
-    Reference naming (xBD_code/zoo/models.py:491-646): the trunk is wrapped
-    as conv1=Sequential(conv, bn, relu) ('conv1.0/conv1.1'),
-    conv2=Sequential(maxpool, layer1) ('conv2.1.<block>'), conv3..5 =
-    layer2..4; decoder ConvRelu blocks are Sequential(conv, relu)
-    ('convN.layer.0'); head is 'res'.
-    """
-    params: dict = {}
-    stats: dict = {}
-
-    trunk_sd = {"conv1.weight": sd["conv1.0.weight"]}
+def _wrapped_trunk_sd(sd: Dict[str, np.ndarray], prefix: str = ""
+                      ) -> Dict[str, np.ndarray]:
+    """Re-key a zoo-style wrapped trunk — conv1=Sequential(conv, bn, relu)
+    ('conv1.0/conv1.1'), conv2=Sequential(maxpool, layer1) ('conv2.1.*'),
+    conv3..5 = layer2..4 — back to torchvision names for
+    convert_resnet_trunk (the wrapping at zoo/models.py:586-597 and
+    networks.py:572-583)."""
+    trunk_sd = {"conv1.weight": sd[prefix + "conv1.0.weight"]}
     for suf in ("weight", "bias", "running_mean", "running_var"):
-        trunk_sd[f"bn1.{suf}"] = sd[f"conv1.1.{suf}"]
+        trunk_sd[f"bn1.{suf}"] = sd[prefix + f"conv1.1.{suf}"]
     for li, src in ((1, "conv2.1"), (2, "conv3"), (3, "conv4"), (4, "conv5")):
         for k, v in sd.items():
-            if k.startswith(src + "."):
-                trunk_sd[f"layer{li}." + k[len(src) + 1:]] = v
-    p_trunk, s_trunk = convert_resnet_trunk(trunk_sd)
+            if k.startswith(prefix + src + "."):
+                trunk_sd[f"layer{li}." + k[len(prefix + src) + 1:]] = v
+    return trunk_sd
+
+
+def _conv_relu(sd: Dict[str, np.ndarray], name: str) -> dict:
+    """ConvRelu Sequential(conv, relu) ('<name>.layer.0') -> our ConvRelu."""
+    return {"conv": {"kernel": _conv(sd[f"{name}.layer.0.weight"]),
+                     "bias": sd[f"{name}.layer.0.bias"]}}
+
+
+_DEC_CONVS = ("conv6", "conv6_2", "conv7", "conv7_2", "conv8", "conv8_2",
+              "conv9", "conv9_2", "conv10")
+
+
+def convert_res34_unet(sd: Dict[str, np.ndarray], double: bool = True
+                       ) -> Tuple[dict, dict]:
+    """Res34_Unet_Loc/Double state_dict -> our Res34UnetLoc/Double variables
+    (xBD_code/zoo/models.py:491-646 naming)."""
+    params: dict = {}
+    stats: dict = {}
+    p_trunk, s_trunk = convert_resnet_trunk(_wrapped_trunk_sd(sd))
     core_p: dict = {"resnet": p_trunk}
     core_s: dict = {"resnet": s_trunk}
-    for n in ("conv6", "conv6_2", "conv7", "conv7_2", "conv8", "conv8_2",
-              "conv9", "conv9_2", "conv10"):
-        core_p[n] = {"conv": {"kernel": _conv(sd[f"{n}.layer.0.weight"]),
-                              "bias": sd[f"{n}.layer.0.bias"]}}
+    for n in _DEC_CONVS:
+        core_p[n] = _conv_relu(sd, n)
     params["core"] = core_p
     stats["core"] = core_s
     params["res"] = {"kernel": _conv(sd["res.weight"]), "bias": sd["res.bias"]}
+    return params, stats
+
+
+def convert_unet_change_transformer(sd: Dict[str, np.ndarray],
+                                    two: bool = False) -> Tuple[dict, dict]:
+    """UNet_Change_Transformer (networks.py:548-746, 'unet_coupled_trans_256')
+    or UNet_Change_Two_Transformer (:748-913, 'unet_coupled_two_trans_256')
+    state_dict -> our variables.
+
+    Dead modules the reference constructs but never calls (ca_skip_4/3/1,
+    ca_bottle_avg_min, linearb, transformer_decoder, classifier, conv0) are
+    ignored. For the two-transformer variant the reference's forward needs a
+    ``ca_skip_2`` its __init__ comments out (AttributeError on every call);
+    a checkpoint can only carry that key if it was added back, so its
+    absence raises KeyError here.
+    """
+    params: dict = {}
+    stats: dict = {}
+    p_trunk, s_trunk = convert_resnet_trunk(_wrapped_trunk_sd(sd))
+    params["encoder"] = {"resnet": p_trunk}
+    stats["encoder"] = {"resnet": s_trunk}
+    params["ca_skip_5"] = {"conv1": {"kernel": _conv(sd["ca_skip_5.conv1.weight"])}}
+    if two:
+        params["ca_skip_2"] = {"conv1": {"kernel": _conv(sd["ca_skip_2.conv1.weight"])}}
+        _convert_transformer(sd, "transformer", 3, params,
+                             ("transformer", "transformer"))
+        _convert_transformer(sd, "transformer2", 2, params,
+                             ("transformer2", "transformer"))
+    else:
+        params["ca_bottle_max"] = {
+            "fc1": {"kernel": _conv(sd["ca_bottle_max.fc1.weight"])},
+            "fc2": {"kernel": _conv(sd["ca_bottle_max.fc2.weight"])},
+        }
+        _convert_transformer(sd, "transformer", 3, params,
+                             ("transformer", "transformer"))
+    for n in _DEC_CONVS:
+        params[n] = _conv_relu(sd, n)
+    params["res"] = {"kernel": _conv(sd["res.weight"]), "bias": sd["res.bias"]}
+    return params, stats
+
+
+def convert_se_unet(sd: Dict[str, np.ndarray], arch: str) -> Tuple[dict, dict]:
+    """SeResNext50/SeNet154 Unet Loc/Double state_dicts
+    (xBD_code/zoo/models.py:72-148, 649-722 wrapping of zoo/senet.py
+    backbones) -> our SeResNext50Unet*/SeNet154Unet* variables.
+
+    Wrapping: conv1 = Sequential(layer0 convs/bns/relus), conv2 =
+    Sequential(pool, layer1), conv3..5 = layer2..4; blocks carry
+    conv1-3/bn1-3, se_module.fc1/fc2 (biased 1x1s), optional
+    downsample.0/.1.
+    """
+    assert arch in ("se_resnext50", "senet154")
+    params: dict = {}
+    stats: dict = {}
+    core_p: dict = {}
+    core_s: dict = {}
+    if arch == "se_resnext50":
+        _conv_b(sd, "conv1.0", core_p, ("stem_conv1",))
+        _bn_pair(sd, "conv1.1", core_p, core_s, ("stem_bn1",))
+        blocks = (3, 4, 6, 3)
+    else:
+        for i, idx in enumerate((0, 3, 6)):
+            _conv_b(sd, f"conv1.{idx}", core_p, (f"stem_conv{i + 1}",))
+            _bn_pair(sd, f"conv1.{idx + 1}", core_p, core_s,
+                     (f"stem_bn{i + 1}",))
+        blocks = (3, 8, 36, 3)
+    for li, src in ((1, "conv2.1"), (2, "conv3"), (3, "conv4"), (4, "conv5")):
+        for b in range(blocks[li - 1]):
+            base = f"{src}.{b}"
+            dst = (f"layer{li}_block{b}",)
+            for ci in (1, 2, 3):
+                _conv_b(sd, f"{base}.conv{ci}", core_p, dst + (f"conv{ci}",))
+                _bn_pair(sd, f"{base}.bn{ci}", core_p, core_s,
+                         dst + (f"bn{ci}",))
+            _conv_b(sd, f"{base}.se_module.fc1", core_p, dst + ("se", "fc1"))
+            _conv_b(sd, f"{base}.se_module.fc2", core_p, dst + ("se", "fc2"))
+            if f"{base}.downsample.0.weight" in sd:
+                _conv_b(sd, f"{base}.downsample.0", core_p,
+                        dst + ("down_conv",))
+                _bn_pair(sd, f"{base}.downsample.1", core_p, core_s,
+                         dst + ("down_bn",))
+    for n in _DEC_CONVS:
+        core_p[n] = _conv_relu(sd, n)
+    params["core"] = core_p
+    stats["core"] = core_s
+    params["res"] = {"kernel": _conv(sd["res.weight"]), "bias": sd["res.bias"]}
+    return params, stats
+
+
+def _ln(sd, src, params, dst):
+    _set(params, dst + ("scale",), sd[src + ".weight"])
+    _set(params, dst + ("bias",), sd[src + ".bias"])
+
+
+def _lin(sd, src, params, dst, bias=True):
+    _set(params, dst + ("kernel",), _linear(sd[src + ".weight"]))
+    if bias and src + ".bias" in sd:
+        _set(params, dst + ("bias",), sd[src + ".bias"])
+
+
+def _conv_b(sd, src, params, dst):
+    _set(params, dst + ("kernel",), _conv(sd[src + ".weight"]))
+    if src + ".bias" in sd:
+        _set(params, dst + ("bias",), sd[src + ".bias"])
+
+
+def convert_changeformer(sd: Dict[str, np.ndarray], v6: bool = True
+                         ) -> Tuple[dict, dict]:
+    """ChangeFormerV6 (models/ChangeFormer.py:1657-1687) or V1 (:643-674)
+    state_dict -> our variables.
+
+    V6 naming: Tenc_x2 (EncoderTransformer_v3: patch_embedN.{proj,norm},
+    blockN.i.{norm1, attn.{q,kv,proj,sr,norm}, norm2,
+    mlp.{fc1, dwconv.dwconv, fc2}}, normN) and TDec_x2
+    (DecoderTransformer_v3: linear_cN.proj, diff_cN Sequential(conv,relu,bn,
+    conv,relu), make_pred_cN, linear_fuse Sequential(conv,bn),
+    convd2x/convd1x UpsampleConvLayer(ConvTranspose 'conv2d'),
+    dense_2x/dense_1x Sequential(ResidualBlock).0.{conv1,conv2}.conv2d,
+    change_probability.conv2d).
+    V1 naming: Tenc (depths 3/4/6/3; its dead intra-patch
+    patch_block/pnorm modules are skipped), convproj
+    (convd16x..convd1x + dense_4..dense_1), change_probability.
+    ConvTranspose2d weights (in, out, kh, kw) convert with the same
+    (2, 3, 1, 0) transpose for flax transpose_kernel=True.
+    """
+    params: dict = {}
+    stats: dict = {}
+    depths = (3, 3, 4, 3) if v6 else (3, 4, 6, 3)
+    sr_ratios = (8, 4, 2, 1)
+    ep = "Tenc_x2" if v6 else "Tenc"
+    enc: dict = {}
+    for s in range(4):
+        pe = f"patch_embed{s + 1}"
+        _conv_b(sd, f"{ep}.{pe}.proj", enc, (pe, "proj"))
+        _ln(sd, f"{ep}.{pe}.norm", enc, (pe, "norm"))
+        for i in range(depths[s]):
+            base = f"{ep}.block{s + 1}.{i}"
+            dst = (f"block{s + 1}_{i}",)
+            _ln(sd, f"{base}.norm1", enc, dst + ("norm1",))
+            _ln(sd, f"{base}.norm2", enc, dst + ("norm2",))
+            _lin(sd, f"{base}.attn.q", enc, dst + ("attn", "q"))
+            _lin(sd, f"{base}.attn.kv", enc, dst + ("attn", "kv"))
+            _lin(sd, f"{base}.attn.proj", enc, dst + ("attn", "proj"))
+            if sr_ratios[s] > 1:
+                _conv_b(sd, f"{base}.attn.sr", enc, dst + ("attn", "sr"))
+                _ln(sd, f"{base}.attn.norm", enc, dst + ("attn", "sr_norm"))
+            _lin(sd, f"{base}.mlp.fc1", enc, dst + ("mlp", "fc1"))
+            _conv_b(sd, f"{base}.mlp.dwconv.dwconv", enc,
+                    dst + ("mlp", "dwconv"))
+            _lin(sd, f"{base}.mlp.fc2", enc, dst + ("mlp", "fc2"))
+        _ln(sd, f"{ep}.norm{s + 1}", enc, (f"norm{s + 1}",))
+    params["Tenc"] = enc
+
+    if not v6:
+        cp: dict = {}
+        for name in ("convd16x", "convd8x", "convd4x", "convd2x", "convd1x"):
+            _conv_b(sd, f"convproj.{name}.conv2d", cp, (name, "conv"))
+        for name in ("dense_4", "dense_3", "dense_2", "dense_1"):
+            _conv_b(sd, f"convproj.{name}.0.conv1.conv2d", cp, (name, "conv1"))
+            _conv_b(sd, f"convproj.{name}.0.conv2.conv2d", cp, (name, "conv2"))
+        params["convproj"] = cp
+        _conv_b(sd, "change_probability.conv2d", params,
+                ("change_probability",))
+        return params, stats
+
+    dec: dict = {}
+    dec_stats: dict = {}
+    for tag in ("4", "3", "2", "1"):
+        _lin(sd, f"TDec_x2.linear_c{tag}.proj", dec, (f"linear_c{tag}",))
+        for mod, pref in ((f"diff_c{tag}", f"TDec_x2.diff_c{tag}"),
+                          (f"make_pred_c{tag}", f"TDec_x2.make_pred_c{tag}")):
+            _conv_b(sd, f"{pref}.0", dec, (mod, "conv1"))
+            _bn_pair(sd, f"{pref}.2", dec, dec_stats, (mod, "bn"))
+            _conv_b(sd, f"{pref}.3", dec, (mod, "conv2"))
+    _conv_b(sd, "TDec_x2.linear_fuse.0", dec, ("linear_fuse",))
+    _bn_pair(sd, "TDec_x2.linear_fuse.1", dec, dec_stats,
+             ("linear_fuse_bn",))
+    for name in ("convd2x", "convd1x"):
+        _conv_b(sd, f"TDec_x2.{name}.conv2d", dec, (name, "conv"))
+    for name in ("dense_2x", "dense_1x"):
+        _conv_b(sd, f"TDec_x2.{name}.0.conv1.conv2d", dec, (name, "conv1"))
+        _conv_b(sd, f"TDec_x2.{name}.0.conv2.conv2d", dec, (name, "conv2"))
+    _conv_b(sd, "TDec_x2.change_probability.conv2d", dec,
+            ("change_probability",))
+    params["TDec"] = dec
+    stats["TDec"] = dec_stats
     return params, stats
 
 
@@ -281,6 +478,18 @@ def import_reference_checkpoint(path: str, net_g: str):
         params, stats = convert_res34_unet(sd, double=True)
     elif net_g == "xbd_res34_loc":
         params, stats = convert_res34_unet(sd, double=False)
+    elif net_g == "unet_coupled_trans_256":
+        params, stats = convert_unet_change_transformer(sd, two=False)
+    elif net_g == "unet_coupled_two_trans_256":
+        params, stats = convert_unet_change_transformer(sd, two=True)
+    elif net_g in ("changeFormerV6", "changeformerV6"):
+        params, stats = convert_changeformer(sd, v6=True)
+    elif net_g in ("changeFormer", "changeformer"):
+        params, stats = convert_changeformer(sd, v6=False)
+    elif net_g in ("xbd_seresnext50_loc", "xbd_seresnext50_double"):
+        params, stats = convert_se_unet(sd, "se_resnext50")
+    elif net_g in ("xbd_senet154_loc", "xbd_senet154_double"):
+        params, stats = convert_se_unet(sd, "senet154")
     else:
         raise NotImplementedError(f"no torch importer for {net_g}")
     return {"params": params, "batch_stats": stats}

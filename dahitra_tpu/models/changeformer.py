@@ -198,15 +198,18 @@ class ConvDiff(nn.Module):
 
 
 class MakePrediction(nn.Module):
-    """conv3-ReLU-BN-conv3 (ChangeFormer.py:1139-1146)."""
+    """conv3(in->out)-ReLU-BN(out)-conv3(out->out) (ChangeFormer.py:1139-1146).
+
+    The channel squeeze happens in conv1 — BN runs over the (tiny) output
+    width, matching the reference exactly."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        c = x.shape[-1]
-        x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(x)
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)

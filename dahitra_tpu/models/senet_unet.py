@@ -23,7 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dahitra_tpu.nn.blocks import ConvRelu, max_pool_3x3_s2, upsample_nearest
+from dahitra_tpu.nn.blocks import (ConvRelu, max_pool_3x3_s2_ceil,
+                                   upsample_nearest)
 
 Dtype = Any
 
@@ -140,12 +141,12 @@ class _SEUnet(nn.Module):
     decoder_filters: Sequence[int]
     dtype: Dtype = jnp.float32
 
-    def _block(self, planes, stride, name):
+    def _block(self, planes, stride, name, down_k):
         if self.arch == "se_resnext50":
             return SEResNeXtBottleneck(planes, stride=stride,
-                                       downsample_kernel=1, dtype=self.dtype,
-                                       name=name)
-        return SEBottleneck(planes, stride=stride, downsample_kernel=3,
+                                       downsample_kernel=down_k,
+                                       dtype=self.dtype, name=name)
+        return SEBottleneck(planes, stride=stride, downsample_kernel=down_k,
                             dtype=self.dtype, name=name)
 
     @nn.compact
@@ -171,12 +172,17 @@ class _SEUnet(nn.Module):
         enc1 = x
 
         feats = []
-        x = max_pool_3x3_s2(enc1)
+        # senet pool is ceil-mode, pad-0 (zoo/senet.py:362-364)
+        x = max_pool_3x3_s2_ceil(enc1)
         for idx, (planes, blocks) in enumerate(layers_cfg):
             stride = 1 if idx == 0 else 2
+            # layer1 downsamples with a 1x1 regardless of arch
+            # (senet.py:366-373 overrides downsample_kernel_size=1);
+            # senet154's other layers use 3x3 (:475-478 default).
+            down_k = 1 if (idx == 0 or self.arch == "se_resnext50") else 3
             for b in range(blocks):
                 x = self._block(planes, stride if b == 0 else 1,
-                                f"layer{idx + 1}_block{b}")(x, train)
+                                f"layer{idx + 1}_block{b}", down_k)(x, train)
             feats.append(x)
         enc2, enc3, enc4, enc5 = feats
 

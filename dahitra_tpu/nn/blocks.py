@@ -49,6 +49,22 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     )
 
 
+def max_pool_3x3_s2_ceil(x: jax.Array) -> jax.Array:
+    """torch MaxPool2d(3, stride=2, ceil_mode=True) — NO padding, windows
+    aligned at 0 with the last (clipped) window kept (the senet backbones'
+    Caffe-compatible pool, xBD_code/zoo/senet.py:362-364)."""
+    h, w = x.shape[1], x.shape[2]
+    out_h = -(-(h - 3) // 2) + 1
+    out_w = -(-(w - 3) // 2) + 1
+    pad_h = max((out_h - 1) * 2 + 3 - h, 0)
+    pad_w = max((out_w - 1) * 2 + 3 - w, 0)
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min)
+    return jax.lax.reduce_window(
+        x, init, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+
+
 def max_pool_2x2(x: jax.Array) -> jax.Array:
     """torch F.max_pool2d(kernel_size=2, stride=2)."""
     return jax.lax.reduce_window(
