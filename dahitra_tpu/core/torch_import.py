@@ -276,6 +276,66 @@ def convert_res34_unet(sd: Dict[str, np.ndarray], double: bool = True
     return params, stats
 
 
+def _ct_as_conv(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d(k, stride 1, padding k//2) equals a SAME conv
+    with spatially flipped taps and in/out swapped; convert its weight
+    (in, out, kh, kw) to a flax Conv kernel (kh, kw, in, out)."""
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
+def convert_resnet_cd(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """ResNet change detector (networks.py:176-257, 'base_resnet18')."""
+    params: dict = {}
+    stats: dict = {}
+    p_trunk, s_trunk = convert_resnet_trunk(sd, "resnet.")
+    params["resnet"] = p_trunk
+    stats["resnet"] = s_trunk
+    _conv_b(sd, "conv_pred", params, ("conv_pred",))
+    _conv_b(sd, "classifier.0", params, ("classifier", "conv1"))
+    _bn_pair(sd, "classifier.1", params, stats, ("classifier", "bn"))
+    _conv_b(sd, "classifier.3", params, ("classifier", "conv2"))
+    return params, stats
+
+
+def convert_siam_unet_conc(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """SiamUnet_conc (networks.py:916-1082, 'siamUnet_conc').
+
+    Encoder convNM/bnNM -> encNM; decoder ConvTranspose2d(k3, s1, p1)
+    convNMd -> our SAME-conv decNM with flipped taps (_ct_as_conv);
+    stride-2 upconvN keep their transposed-conv form."""
+    params: dict = {}
+    stats: dict = {}
+    enc_names = ("11", "12", "21", "22", "31", "32", "33", "41", "42", "43")
+    for nm in enc_names:
+        _conv_b(sd, f"conv{nm}", params, (f"enc{nm}", "conv"))
+        _bn_pair(sd, f"bn{nm}", params, stats, (f"enc{nm}", "bn"))
+    for s in ("4", "3", "2", "1"):
+        _set(params, (f"upconv{s}", "upconv", "kernel"),
+             _conv(sd[f"upconv{s}.weight"]))
+        _set(params, (f"upconv{s}", "upconv", "bias"), sd[f"upconv{s}.bias"])
+    dec_names = ("43", "42", "41", "33", "32", "31", "22", "21", "12")
+    for nm in dec_names:
+        _set(params, (f"dec{nm}", "conv", "kernel"),
+             _ct_as_conv(sd[f"conv{nm}d.weight"]))
+        _set(params, (f"dec{nm}", "conv", "bias"), sd[f"conv{nm}d.bias"])
+        _bn_pair(sd, f"bn{nm}d", params, stats, (f"dec{nm}", "bn"))
+    _set(params, ("dec11", "kernel"), _ct_as_conv(sd["conv11d.weight"]))
+    _set(params, ("dec11", "bias"), sd["conv11d.bias"])
+    return params, stats
+
+
+def convert_res34_double_modified(sd: Dict[str, np.ndarray]
+                                  ) -> Tuple[dict, dict]:
+    """Res34_Unet_Double_Modified (zoo/models.py:854-991): the shared core
+    plus the nine 1x1 fusion convs (conv1d_1..conv1d_9, biased)."""
+    params, stats = convert_res34_unet(sd)
+    for i in range(1, 10):
+        _set(params, (f"conv1d_{i}", "kernel"),
+             _conv(sd[f"conv1d_{i}.weight"]))
+        _set(params, (f"conv1d_{i}", "bias"), sd[f"conv1d_{i}.bias"])
+    return params, stats
+
+
 def convert_unet_change_transformer(sd: Dict[str, np.ndarray],
                                     two: bool = False) -> Tuple[dict, dict]:
     """UNet_Change_Transformer (networks.py:548-746, 'unet_coupled_trans_256')
@@ -462,22 +522,153 @@ def convert_changeformer(sd: Dict[str, np.ndarray], v6: bool = True
     return params, stats
 
 
+def convert_xbd_unet_change_transformer(sd: Dict[str, np.ndarray],
+                                        bit: bool = False) -> Tuple[dict, dict]:
+    """xBD 6-channel UNet_Change_Transformer (zoo/models.py:1094-1226) /
+    _BiT (:1228-1368) -> our XBDUNetChangeTransformer variables. The
+    non-BiT variant's bottleneck transformer is dead code (its forward
+    comments it out) and is skipped."""
+    params: dict = {}
+    stats: dict = {}
+    p_trunk, s_trunk = convert_resnet_trunk(_wrapped_trunk_sd(sd))
+    params["resnet"] = p_trunk
+    stats["resnet"] = s_trunk
+    for tag in ("5", "4", "3", "2"):
+        params[f"ca_skip_{tag}"] = {
+            "conv1": {"kernel": _conv(sd[f"ca_skip_{tag}.conv1.weight"])}}
+    if bit:
+        params["ca_bottle_max"] = {
+            "fc1": {"kernel": _conv(sd["ca_bottle_max.fc1.weight"])},
+            "fc2": {"kernel": _conv(sd["ca_bottle_max.fc2.weight"])},
+        }
+        _convert_transformer(sd, "transformer", 8, params,
+                             ("transformer", "transformer"))
+    for n in _DEC_CONVS:
+        params[n] = _conv_relu(sd, n)
+    params["res"] = {"kernel": _conv(sd["res.weight"]), "bias": sd["res.bias"]}
+    return params, stats
+
+
+_HR_STAGE_CH = {2: (32, 64), 3: (32, 64, 128), 4: (32, 64, 128, 256)}
+_HR_STAGE_MODS = {2: 1, 3: 4, 4: 3}
+
+
+def convert_dual_hrnet(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """DualHRNet state_dict (xBD_code/dual_hrnet.py:323-797, W32 config)
+    -> our DualHRNet variables.
+
+    Naming: per stream (loc_net/cls_net) — conv1/bn1/conv2/bn2 stem,
+    layer1.{b} Bottlenecks, transitions.{t}.{i} (flat Sequential(conv,bn)
+    for channel adaptation, nested chains for new branches),
+    stage{s}.{m}.branches.{b}.{k} BasicBlocks and fuse_layers.{i}.{j}
+    (conv+bn for coarse->fine, chains for fine->coarse), last_layer.{0,1,3};
+    plus the cross-stream fuse_{loc,cls}_stage{1,2,3}.{i} lists.
+    """
+    params: dict = {}
+    stats: dict = {}
+    for stream in ("loc_net", "cls_net"):
+        sp: dict = {}
+        ss: dict = {}
+        _conv_b(sd, f"{stream}.conv1", sp, ("conv1",))
+        _bn_pair(sd, f"{stream}.bn1", sp, ss, ("bn1",))
+        _conv_b(sd, f"{stream}.conv2", sp, ("conv2",))
+        _bn_pair(sd, f"{stream}.bn2", sp, ss, ("bn2",))
+        for b in range(4):
+            base = f"{stream}.layer1.{b}"
+            dst = (f"layer1_block{b}",)
+            for ci in (1, 2, 3):
+                _conv_b(sd, f"{base}.conv{ci}", sp, dst + (f"conv{ci}",))
+                _bn_pair(sd, f"{base}.bn{ci}", sp, ss, dst + (f"bn{ci}",))
+            if f"{base}.downsample.0.weight" in sd:
+                _conv_b(sd, f"{base}.downsample.0", sp, dst + ("down_conv",))
+                _bn_pair(sd, f"{base}.downsample.1", sp, ss,
+                         dst + ("down_bn",))
+        for t in range(3):
+            tname = f"transition{t + 1}"
+            for i in range(len(_HR_STAGE_CH[t + 2])):
+                base = f"{stream}.transitions.{t}.{i}"
+                if f"{base}.0.weight" in sd:  # flat channel-adapting conv
+                    _conv_b(sd, f"{base}.0", sp, (tname, f"trans{i}_conv"))
+                    _bn_pair(sd, f"{base}.1", sp, ss, (tname, f"trans{i}_bn"))
+                else:  # new-branch downsample chain (or None: no keys)
+                    j = 0
+                    while f"{base}.{j}.0.weight" in sd:
+                        _conv_b(sd, f"{base}.{j}.0", sp,
+                                (tname, f"trans{i}_conv{j}"))
+                        _bn_pair(sd, f"{base}.{j}.1", sp, ss,
+                                 (tname, f"trans{i}_bn{j}"))
+                        j += 1
+        for s, chs in _HR_STAGE_CH.items():
+            n = len(chs)
+            for m in range(_HR_STAGE_MODS[s]):
+                mbase = f"{stream}.stage{s}.{m}"
+                mdst = (f"stage{s}_m{m}",)
+                for b in range(n):
+                    for k in range(4):
+                        bb = f"{mbase}.branches.{b}.{k}"
+                        bd = mdst + (f"branch{b}_block{k}",)
+                        for ci in (1, 2):
+                            _conv_b(sd, f"{bb}.conv{ci}", sp,
+                                    bd + (f"conv{ci}",))
+                            _bn_pair(sd, f"{bb}.bn{ci}", sp, ss,
+                                     bd + (f"bn{ci}",))
+                for i in range(n):
+                    for j in range(n):
+                        if j == i:
+                            continue
+                        fb = f"{mbase}.fuse_layers.{i}.{j}"
+                        if j > i:
+                            _conv_b(sd, f"{fb}.0", sp,
+                                    mdst + (f"fuse{i}_{j}_conv",))
+                            _bn_pair(sd, f"{fb}.1", sp, ss,
+                                     mdst + (f"fuse{i}_{j}_bn",))
+                        else:
+                            for k in range(i - j):
+                                _conv_b(sd, f"{fb}.{k}.0", sp,
+                                        mdst + (f"fuse{i}_{j}_conv{k}",))
+                                _bn_pair(sd, f"{fb}.{k}.1", sp, ss,
+                                         mdst + (f"fuse{i}_{j}_bn{k}",))
+        _conv_b(sd, f"{stream}.last_layer.0", sp, ("last_conv1",))
+        _bn_pair(sd, f"{stream}.last_layer.1", sp, ss, ("last_bn",))
+        _conv_b(sd, f"{stream}.last_layer.3", sp, ("last_conv2",))
+        params[stream] = sp
+        stats[stream] = ss
+
+    for fuse in ("fuse_loc_stage1", "fuse_loc_stage2", "fuse_loc_stage3",
+                 "fuse_cls_stage1", "fuse_cls_stage2", "fuse_cls_stage3"):
+        n = len(_HR_STAGE_CH[int(fuse[-1]) + 1])
+        fp: dict = {}
+        fs: dict = {}
+        for i in range(n):
+            _conv_b(sd, f"{fuse}.{i}.0", fp, (f"fuse{i}_conv",))
+            _bn_pair(sd, f"{fuse}.{i}.1", fp, fs, (f"fuse{i}_bn",))
+        params[fuse] = fp
+        stats[fuse] = fs
+    return params, stats
+
+
 def import_reference_checkpoint(path: str, net_g: str):
     """Load a reference .pt and convert by model key. Returns
     {"params": ..., "batch_stats": ...}."""
     sd = state_dict_to_numpy(path)
     if net_g == "newUNetTrans":
         params, stats = convert_dahitra(sd, xbd=False)
-    elif net_g == "xbd_dahitra":
+    elif net_g in ("xbd_dahitra", "xbd_adapt_dahitra"):
         params, stats = convert_dahitra(sd, xbd=True)
+    elif net_g == "base_resnet18":
+        params, stats = convert_resnet_cd(sd)
+    elif net_g == "siamUnet_conc":
+        params, stats = convert_siam_unet_conc(sd)
     elif net_g.startswith("base_transformer"):
         dec_depth = 8 if "dd8" in net_g else (4 if "e2d4" in net_g else 1)
         enc_depth = 2 if "e2d4" in net_g else 1
         params, stats = convert_bit(sd, enc_depth, dec_depth)
     elif net_g in ("siamUnet", "xbd_res34_double", "xbd_adapt_res34"):
         params, stats = convert_res34_unet(sd, double=True)
-    elif net_g == "xbd_res34_loc":
+    elif net_g in ("xbd_res34_loc", "xbd_res34_single"):
         params, stats = convert_res34_unet(sd, double=False)
+    elif net_g == "xbd_res34_double_modified":
+        params, stats = convert_res34_double_modified(sd)
     elif net_g == "unet_coupled_trans_256":
         params, stats = convert_unet_change_transformer(sd, two=False)
     elif net_g == "unet_coupled_two_trans_256":
@@ -490,6 +681,12 @@ def import_reference_checkpoint(path: str, net_g: str):
         params, stats = convert_se_unet(sd, "se_resnext50")
     elif net_g in ("xbd_senet154_loc", "xbd_senet154_double"):
         params, stats = convert_se_unet(sd, "senet154")
+    elif net_g == "dual_hrnet":
+        params, stats = convert_dual_hrnet(sd)
+    elif net_g == "xbd_unet_change_transformer":
+        params, stats = convert_xbd_unet_change_transformer(sd, bit=False)
+    elif net_g == "xbd_unet_change_transformer_bit":
+        params, stats = convert_xbd_unet_change_transformer(sd, bit=True)
     else:
         raise NotImplementedError(f"no torch importer for {net_g}")
     return {"params": params, "batch_stats": stats}

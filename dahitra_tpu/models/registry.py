@@ -122,6 +122,21 @@ def _xbd_res34_double(dtype=jnp.float32, **kw):
     return Res34UnetDouble(output_nc=5, dtype=dtype)
 
 
+@register("xbd_res34_single")
+def _xbd_res34_single(dtype=jnp.float32, **kw):
+    """Res34_Unet_Single (zoo/models.py:320-393): single-branch 5-class."""
+    from dahitra_tpu.models.res34_unet import Res34UnetSingle
+    return Res34UnetSingle(dtype=dtype)
+
+
+@register("xbd_res34_double_modified")
+def _xbd_res34_double_mod(dtype=jnp.float32, **kw):
+    """Res34_Unet_Double_Modified (zoo/models.py:854-991): per-date passes
+    plus a third fused pass through the shared core."""
+    from dahitra_tpu.models.res34_unet import Res34UnetDoubleModified
+    return Res34UnetDoubleModified(dtype=dtype)
+
+
 @register("xbd_adapt_res34")
 def _xbd_adapt_res34(dtype=jnp.float32, **kw):
     """4-class (merged major/destroyed) domain-adaptation model

@@ -38,9 +38,12 @@ DEC = (48, 64, 96, 128, 320)
 
 
 class ChannelAttentionFuse(nn.Module):
-    """conv3x3(2C->C, no bias) + tanh (networks.py:419-431)."""
+    """conv3x3(2C->C, no bias) + tanh (networks.py:419-431). The xBD zoo
+    copy swaps tanh for ReLU ("changed tanh to relu",
+    zoo/models.py:993-1003) — selected via ``activation``."""
 
     out_channels: int
+    activation: str = "tanh"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -48,7 +51,7 @@ class ChannelAttentionFuse(nn.Module):
         x = jnp.concatenate([a, b], axis=-1)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        return jnp.tanh(x)
+        return jnp.tanh(x) if self.activation == "tanh" else nn.relu(x)
 
 
 class BottleneckChannelAttention(nn.Module):

@@ -2,18 +2,23 @@
 the test predictor (xBD_code/predict_test_cls.py:39-55).
 
 Parity targets (reference /root/reference/xBD_code/zoo/models.py):
-  * UNet_Change_Transformer (:1094-1226): siamese resnet34 trunk on the
-    split 6-channel input; tanh ChannelAttention fusion of the two dates at
-    every skip level; plain UNet decoder (filters [48, 64, 96, 160, 320])
-    to 5 damage channels. The bottleneck transformer it constructs is NOT
-    called in its forward (commented out, :1180-1185) — matched: this
-    variant is conv-only at runtime.
+  * UNet_Change_Transformer (:1094-1226 — NB: that whole class sits inside
+    a module-level triple-quoted string, i.e. dead code; the predictor even
+    imports _BiT but instantiates UNet_Change_Transformer(), a NameError —
+    predict_test_cls.py:21,41. Reconstructed here and oracle-tested by
+    exec'ing the commented block): siamese resnet34 trunk on the split
+    6-channel input; ReLU ChannelAttention fusion of the two dates at every
+    skip level (the zoo copy swaps tanh for ReLU, :993-1003); plain UNet
+    decoder (filters [48, 64, 96, 160, 320]) to 5 damage channels. Its
+    bottleneck transformer is never called — conv-only at runtime.
   * UNet_Change_Transformer_BiT (:1228-1368): adds the ReLU-gated
     bottleneck channel attention per date, then a channel-token transformer
-    (tokens = 512 channels, dim = (img/32)^2, depth 2, heads 8) fused back
-    via ChannelAttention.
+    (tokens = 512 channels, dim = (img/32)^2, depth 8, heads 4,
+    dim_head = dim, mlp dim^2, :1277-1285) fused back via ChannelAttention;
+    decoder filters [48, 64, 96, 128, 320].
   Quirk preserved: the finest skip is fused with ca_skip_2 rather than
   ca_skip_1 in both variants (:1205, :1352).
+Forward parity for both variants: tests/test_oracle_parity.py.
 """
 from __future__ import annotations
 
@@ -30,7 +35,10 @@ from dahitra_tpu.models.unet_change_transformer import (
 
 Dtype = Any
 
+# Decoder widths differ between the variants' LOCAL decoder_filters:
+# plain (zoo/models.py:1098) uses 160 at index 3, _BiT (:1235) uses 128.
 DEC = (48, 64, 96, 160, 320)
+DEC_BIT = (48, 64, 96, 128, 320)
 
 
 class XBDUNetChangeTransformer(nn.Module):
@@ -44,26 +52,35 @@ class XBDUNetChangeTransformer(nn.Module):
         self.trunk = ResNetTrunk(backbone="resnet34",
                                  replace_stride_with_dilation=(False, False, False),
                                  dtype=dt, name="resnet")
-        self.ca_skip_5 = ChannelAttentionFuse(512, dtype=dt, name="ca_skip_5")
-        self.ca_skip_4 = ChannelAttentionFuse(256, dtype=dt, name="ca_skip_4")
-        self.ca_skip_3 = ChannelAttentionFuse(128, dtype=dt, name="ca_skip_3")
-        self.ca_skip_2 = ChannelAttentionFuse(64, dtype=dt, name="ca_skip_2")
+        self.ca_skip_5 = ChannelAttentionFuse(512, activation="relu",
+                                              dtype=dt, name="ca_skip_5")
+        self.ca_skip_4 = ChannelAttentionFuse(256, activation="relu",
+                                              dtype=dt, name="ca_skip_4")
+        self.ca_skip_3 = ChannelAttentionFuse(128, activation="relu",
+                                              dtype=dt, name="ca_skip_3")
+        self.ca_skip_2 = ChannelAttentionFuse(64, activation="relu",
+                                              dtype=dt, name="ca_skip_2")
         if self.use_bit:
             self.ca_bottle_max = BottleneckChannelAttention(
                 512, dtype=dt, name="ca_bottle_max")
+            # zoo/models.py:1277-1285: Transformer(dim=64, depth=8, heads=4,
+            # dim_head=64, mlp_dim=dim**2, dropout=0.05) — the hardcoded
+            # dim 64 assumes 256px crops ((256/32)^2); we scale with
+            # img_size and keep the rest.
             dim = (self.img_size // 32) ** 2
             self.transformer = _ChannelTokenTransformer(
-                seq_dim=dim, depth=2, heads=8, dim_head=64, mlp_dim=2 * dim,
-                dropout=0.0, dtype=dt, name="transformer")
-        self.conv6 = ConvRelu(DEC[4], dtype=dt, name="conv6")
-        self.conv6_2 = ConvRelu(DEC[4], dtype=dt, name="conv6_2")
-        self.conv7 = ConvRelu(DEC[3], dtype=dt, name="conv7")
-        self.conv7_2 = ConvRelu(DEC[3], dtype=dt, name="conv7_2")
-        self.conv8 = ConvRelu(DEC[2], dtype=dt, name="conv8")
-        self.conv8_2 = ConvRelu(DEC[2], dtype=dt, name="conv8_2")
-        self.conv9 = ConvRelu(DEC[1], dtype=dt, name="conv9")
-        self.conv9_2 = ConvRelu(DEC[1], dtype=dt, name="conv9_2")
-        self.conv10 = ConvRelu(DEC[0], dtype=dt, name="conv10")
+                seq_dim=dim, depth=8, heads=4, dim_head=dim,
+                mlp_dim=dim * dim, dropout=0.05, dtype=dt, name="transformer")
+        dec = DEC_BIT if self.use_bit else DEC
+        self.conv6 = ConvRelu(dec[4], dtype=dt, name="conv6")
+        self.conv6_2 = ConvRelu(dec[4], dtype=dt, name="conv6_2")
+        self.conv7 = ConvRelu(dec[3], dtype=dt, name="conv7")
+        self.conv7_2 = ConvRelu(dec[3], dtype=dt, name="conv7_2")
+        self.conv8 = ConvRelu(dec[2], dtype=dt, name="conv8")
+        self.conv8_2 = ConvRelu(dec[2], dtype=dt, name="conv8_2")
+        self.conv9 = ConvRelu(dec[1], dtype=dt, name="conv9")
+        self.conv9_2 = ConvRelu(dec[1], dtype=dt, name="conv9_2")
+        self.conv10 = ConvRelu(dec[0], dtype=dt, name="conv10")
         self.res = nn.Conv(self.output_nc, (1, 1), dtype=dt, name="res")
 
     def _encode(self, x, train):

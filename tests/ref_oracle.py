@@ -109,6 +109,37 @@ def load_xbd_zoo():
     return sys.modules["zoo"]
 
 
+class _NS:
+    """Minimal yacs stand-in: attribute + item access over nested dicts
+    (yacs is not installed; the reference only reads the config)."""
+
+    def __init__(self, d):
+        self._d = {k: _NS(v) if isinstance(v, dict) else v
+                   for k, v in d.items()}
+        for k, v in self._d.items():
+            setattr(self, k, v)
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+
+def load_dual_hrnet():
+    """Import the reference dual_hrnet.py and return (module, config)."""
+    import numpy as _np
+
+    if not hasattr(_np, "int"):
+        _np.int = int  # the reference uses the removed np.int alias
+    import yaml
+
+    if "/root/reference/xBD_code" not in sys.path:
+        sys.path.insert(0, "/root/reference/xBD_code")
+    import dual_hrnet as dh
+
+    cfg = _NS(yaml.safe_load(
+        open("/root/reference/xBD_code/dual_hrnet_config.yaml")))
+    return dh, cfg
+
+
 def sd_numpy(net):
     """state_dict -> {name: np.ndarray} like state_dict_to_numpy on a file."""
     return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
