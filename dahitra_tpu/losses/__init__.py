@@ -3,6 +3,7 @@ from dahitra_tpu.losses.cd import (
     cross_entropy,
     dice_argmax,
     focal_loss,
+    focal_loss_xbd,
     levir_train_loss,
     multi_cross_entropy,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "cross_entropy",
     "dice_argmax",
     "focal_loss",
+    "focal_loss_xbd",
     "levir_train_loss",
     "multi_cross_entropy",
     "ComboLoss",

@@ -137,6 +137,33 @@ def dice_argmax(logits: jax.Array, target: jax.Array,
     return loss * nonempty
 
 
+def focal_loss_2d_sigmoid(logits: jax.Array, target: jax.Array,
+                          gamma: float = 2.0) -> jax.Array:
+    """focal_loss2D (models/losses.py:272-280): single-channel sigmoid focal
+    where BOTH the probabilities and the {0,1} targets are clamped to
+    [1e-8, 1-1e-8] (so a correct pixel still contributes ~0 loss but the
+    target clamp is a faithful quirk)."""
+    p = jnp.clip(jax.nn.sigmoid(logits.astype(jnp.float32)), 1e-8, 1.0 - 1e-8)
+    t = jnp.clip(target.astype(jnp.float32), 1e-8, 1.0 - 1e-8)
+    pt = (1.0 - t) * (1.0 - p) + t * p
+    return jnp.mean(-((1.0 - pt) ** gamma) * jnp.log(pt))
+
+
+XBD_FOCAL_WEIGHTS = (0.01, 0.1, 2.0, 1.5, 2.0)
+
+
+def focal_loss_xbd(logits: jax.Array, target: jax.Array) -> jax.Array:
+    """focal_loss_xBD (models/losses.py:243-264): per-class sigmoid focal
+    over the 5 damage channels with hand weights [0.01, 0.1, 2, 1.5, 2].
+    ``logits`` (B, H, W, 5) NHWC, ``target`` (B, H, W) int class ids."""
+    target = _squeeze_target(target)
+    loss = jnp.float32(0.0)
+    for c, w in enumerate(XBD_FOCAL_WEIGHTS):
+        loss = loss + w * focal_loss_2d_sigmoid(
+            logits[..., c], (target == c).astype(jnp.float32))
+    return loss
+
+
 def multi_cross_entropy(logits: jax.Array, target: jax.Array) -> jax.Array:
     """5-class weighted CE, weights [1,5,100,90,100] (models/losses.py:283-301)."""
     return cross_entropy(logits, target, weight=jnp.array([1.0, 5.0, 100.0, 90.0, 100.0]))

@@ -115,6 +115,32 @@ def test_levir_train_loss_ignores_padded_255_rows():
     assert padded == pytest.approx(clean, rel=1e-5)
 
 
+def test_focal_loss_xbd_matches_torch_oracle():
+    """focal_loss_xBD (models/losses.py:243-264) — the reference function
+    hardcodes .cuda() so the oracle re-states its math in torch CPU ops."""
+    import torch
+
+    from dahitra_tpu.losses.cd import focal_loss_xbd
+
+    rng = np.random.default_rng(11)
+    logits = rng.normal(size=(2, 8, 8, 5)).astype(np.float32)
+    target = rng.integers(0, 5, (2, 8, 8)).astype(np.int32)
+
+    tl = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)).copy())
+    tt = torch.from_numpy(target.astype(np.int64))
+
+    def focal2d(o, t, gamma=2):
+        o = torch.clamp(torch.sigmoid(o), 1e-8, 1 - 1e-8)
+        t = torch.clamp(t, 1e-8, 1 - 1e-8)
+        pt = (1 - t) * (1 - o) + t * o
+        return (-(1 - pt) ** gamma * torch.log(pt)).mean()
+
+    ref = sum(w * focal2d(tl[:, c], (tt == c).float()).item()
+              for c, w in enumerate((0.01, 0.1, 2, 1.5, 2)))
+    ours = float(focal_loss_xbd(jnp.array(logits), jnp.array(target)))
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
 def test_ce_dice_is_unweighted_ce_plus_dice():
     logits, target = rand_logits_target(seed=7)
     ours = float(ce_dice(jnp.array(logits), jnp.array(target)))
