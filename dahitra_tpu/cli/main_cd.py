@@ -55,9 +55,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--profile_dir", default=None, type=str,
                         help="write a jax.profiler trace of epoch 0 here")
     parser.add_argument("--scan_epoch", action="store_true",
-                        help="stage the training set in HBM and run each "
-                             "epoch as ONE lax.scan dispatch (single-chip; "
-                             "removes per-step dispatch latency)")
+                        help="stage the training set in HBM (sharded over "
+                             "the data mesh axis) and run each epoch as ONE "
+                             "lax.scan dispatch; removes per-step dispatch "
+                             "latency")
     parser.add_argument("--multi_scale_loss", action="store_true",
                         help="deep supervision over multi-scale heads "
                              "(ChangeFormer recipe, trainer.py:271-285)")

@@ -155,24 +155,82 @@ class CDTrainer:
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, loss, cm
 
+    def _gather_batch(self, full, idx):
+        """Gather a shuffled batch from the HBM-staged dataset.
+
+        Single device: plain take. Multi-device: the dataset is sharded over
+        the mesh 'data' axis and ``idx`` carries SHARD-LOCAL indices (also
+        sharded over 'data'), so each device gathers only from its own HBM
+        shard — no cross-chip collective in the hot loop."""
+        if self.n_devices == 1:
+            return jnp.take(full, idx, axis=0)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ndim_specs = P("data", *([None] * (full.ndim - 1)))
+        return shard_map(lambda f, i: f[i], mesh=self.mesh,
+                         in_specs=(ndim_specs, P("data")),
+                         out_specs=ndim_specs)(full, idx)
+
     def _train_epoch_scan_impl(self, state: TrainState, a_full, b_full,
                                l_full, perm, keys):
         """One-dispatch epoch: lax.scan of the train step with the
         TrainState as carry. The dataset stays staged in HBM; ``perm`` is
         the epoch's shuffled batch indices (n_batches, batch), gathered on
         device. Removes the per-step dispatch RPC (~50 ms on the tunneled
-        chip) — the training analog of eval_epoch_scan."""
+        chip) — the training analog of eval_epoch_scan. On a multi-device
+        mesh the indices are shard-local (see _epoch_perm/_gather_batch) and
+        gradients/BN stats sync through GSPMD as in the per-step path."""
 
         def body(st, xs):
             idx, key = xs
-            a = jnp.take(a_full, idx, axis=0)
-            b = jnp.take(b_full, idx, axis=0)
-            l = jnp.take(l_full, idx, axis=0)
+            a = self._gather_batch(a_full, idx)
+            b = self._gather_batch(b_full, idx)
+            l = self._gather_batch(l_full, idx)
             st, loss, cm = self._train_step_impl(st, a, b, l, key)
             return st, (loss, cm)
 
         state, (losses, cms) = jax.lax.scan(body, state, (perm, keys))
         return state, losses, jnp.sum(cms, axis=0)
+
+    def _stage_train(self):
+        """Stage the training arrays in HBM once, sharded over 'data'.
+
+        Multi-device: the sample dimension is trimmed to a multiple of the
+        device count (the ragged tail is dropped for the epoch — the same
+        drop_last semantics the scan path already applies to batches)."""
+        sh = batch_sharding(self.mesh, spatial=False)
+        n = len(self._train_arrays["a"])
+        d = self.n_devices
+        n_use = (n // d) * d
+        self._staged_train = tuple(
+            jax.device_put(self._train_arrays[k][:n_use], sh)
+            for k in ("a", "b", "label"))
+        self._staged_n = n_use
+
+    def _epoch_perm(self, epoch: int, n_batches: int, bs: int) -> np.ndarray:
+        """Shuffled batch indices (n_batches, bs).
+
+        Single device: a global permutation. Multi-device: each device's
+        shard is permuted independently and every batch takes bs/d samples
+        from every shard (indices are shard-LOCAL; the per-batch order is
+        [shard0 block | shard1 block | ...] matching the 'data'-sharded
+        batch layout). Shuffle semantics divergence from a global
+        permutation is the standard sharded-shuffle trade and is documented
+        here."""
+        rng = np.random.default_rng(
+            getattr(self.args, "seed", 0) * 100003 + epoch)
+        d = self.n_devices
+        if d == 1:
+            return rng.permutation(self._staged_n)[: n_batches * bs].reshape(
+                n_batches, bs)
+        n_local = self._staged_n // d
+        per_dev = bs // d
+        cols = []
+        for _ in range(d):
+            cols.append(rng.permutation(n_local)[: n_batches * per_dev]
+                        .reshape(n_batches, per_dev))
+        return np.concatenate(cols, axis=1)
 
     def _eval_step_impl(self, state: TrainState, a_u8, b_u8, l_u8):
         a, b, label = augment_pairs(a_u8, b_u8, l_u8,
@@ -204,25 +262,27 @@ class CDTrainer:
             jax.profiler.start_trace(profile_dir)
         cms, losses, n_img = [], [], 0
         timer = Timer()
-        if getattr(self.args, "scan_epoch", False) and self.n_devices == 1:
-            # One-dispatch epoch: dataset staged in HBM once, shuffled
-            # batches gathered on device, whole epoch as one lax.scan.
+        scan_ok = (getattr(self.args, "scan_epoch", False)
+                   and self.batch_size % self.n_devices == 0)
+        if scan_ok:
+            # One-dispatch epoch: dataset staged in HBM once (sharded over
+            # 'data' on multi-device meshes), shuffled batches gathered on
+            # device, whole epoch as one lax.scan.
             if self._staged_train is None:
-                sh = batch_sharding(self.mesh, spatial=False)
-                self._staged_train = tuple(
-                    jax.device_put(self._train_arrays[k], sh)
-                    for k in ("a", "b", "label"))
-            n = len(self._train_arrays["a"])
+                self._stage_train()
             bs = self.batch_size
-            n_batches = n // bs
-            rng = np.random.default_rng(
-                getattr(self.args, "seed", 0) * 100003 + epoch)
-            perm = rng.permutation(n)[: n_batches * bs].reshape(n_batches, bs)
+            n_batches = self._staged_n // bs
+            perm = self._epoch_perm(epoch, n_batches, bs)
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, n_batches)
             a_f, b_f, l_f = self._staged_train
+            perm_dev = jnp.asarray(perm)
+            if self.n_devices > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                perm_dev = jax.device_put(
+                    perm_dev, NamedSharding(self.mesh, P(None, "data")))
             self.state, loss_arr, total = self._train_epoch_scan(
-                self.state, a_f, b_f, l_f, jnp.asarray(perm), keys)
+                self.state, a_f, b_f, l_f, perm_dev, keys)
             cms.append(total)
             losses.append(jnp.mean(loss_arr))
             n_img = n_batches * bs  # ragged tail dropped (drop_last behavior)

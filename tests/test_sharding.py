@@ -64,6 +64,46 @@ def test_dp_matches_single_device_loss(tmp_path):
 
 
 @pytest.mark.slow
+def test_xbd_train_step_spatial_mesh(tmp_path):
+    """The FULL XBDTrainer._train_step (on-device augmentation + ComboLoss +
+    AdamW) on a 2x4 data x space mesh, loss equal to single-device — the
+    1024px xBD scaling path, exercised end-to-end at small dims."""
+    from dahitra_tpu.core.mesh import batch_sharding, make_mesh
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+
+    rng = np.random.default_rng(0)
+    n, s = 4, 64
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": rng.integers(0, 2, (n, s, s, 5)).astype(np.uint8),
+        "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
+    }
+    losses = []
+    for tag, (n_data, n_space, devices) in (
+            ("single", (1, 1, jax.devices()[:1])),
+            ("mesh", (2, 4, None))):
+        mesh = make_mesh(n_data=n_data, n_space=n_space, devices=devices)
+        args = argparse.Namespace(
+            net_G="xbd_res34_double", img_size=s, batch_size=n,
+            val_batch_size=n, lr=1e-4, max_epochs=1,
+            checkpoint_dir=str(tmp_path / tag), bf16=False, seed=0,
+            warm_start_from=None)
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        trainer = XBDTrainer(args, arrays, arrays, mesh=mesh, task="damage")
+        sh = batch_sharding(mesh, spatial=n_space > 1)
+        d = {k: jax.device_put(v, sh) for k, v in arrays.items()}
+        if tag == "mesh":
+            assert len(d["img_pre"].sharding.device_set) == 8
+        state, loss = trainer._train_step(
+            trainer.state, d["img_pre"], d["img_post"], d["msk"],
+            d["lbl_msk"], jax.random.PRNGKey(0))
+        jax.block_until_ready(loss)
+        losses.append(float(loss))
+    assert losses[1] == pytest.approx(losses[0], rel=2e-3)
+
+
+@pytest.mark.slow
 def test_spatial_sharding_forward():
     """Shard image rows over the 'space' axis; XLA inserts conv halo
     exchanges automatically (the 1024px xBD scaling path)."""

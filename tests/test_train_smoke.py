@@ -150,3 +150,70 @@ def test_scan_epoch_matches_loop_metrics(tmp_path):
     assert any(jax.tree.leaves(changed))
     # Second epoch reuses the staged dataset (no re-stage crash).
     tr.train_one_epoch(1)
+
+
+def test_scan_epoch_equals_step_loop(tmp_path):
+    """EXACT equality: one lax.scan epoch == the same batches stepped one at
+    a time from the same initial state (not just finiteness)."""
+    import jax.numpy as jnp
+    from dahitra_tpu.train.engine import CDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    arrays = synthetic_arrays(8, size=32)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    args = make_args(tmp_path, project_name="scaneq", net_G="base_resnet18",
+                     img_size=32, batch_size=4, max_epochs=1)
+    args.scan_epoch = True
+    tr = CDTrainer(args, arrays, arrays, mesh=mesh)
+    tr._stage_train()
+    n_batches = tr._staged_n // args.batch_size
+    perm = tr._epoch_perm(0, n_batches, args.batch_size)
+    keys = jax.random.split(jax.random.PRNGKey(42), n_batches)
+    a_f, b_f, l_f = tr._staged_train
+
+    state_scan, losses_scan, cm_scan = tr._train_epoch_scan(
+        tr.state, a_f, b_f, l_f, jnp.asarray(perm), keys)
+
+    # replay per-step from the same initial replicated state
+    tr2 = CDTrainer(args, arrays, arrays, mesh=mesh)
+    state = tr2.state
+    losses_loop, cms = [], []
+    for i in range(n_batches):
+        idx = perm[i]
+        state, loss, cm = tr2._train_step(
+            state, a_f[idx], b_f[idx], l_f[idx], keys[i])
+        losses_loop.append(float(loss))
+        cms.append(np.asarray(cm))
+    # Step 1 is bitwise-identical; later steps drift at fp32 fusion noise
+    # (XLA schedules the scan body differently from the standalone step).
+    assert float(losses_scan[0]) == losses_loop[0]
+    np.testing.assert_allclose(np.asarray(losses_scan), losses_loop,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cm_scan), sum(cms), atol=20)
+    # AdamW normalizes by sqrt(v): where grads are ~0, fusion-level fp32
+    # noise flips the update sign and the per-element difference saturates
+    # at ~lr per step. Bound by 2 steps * lr.
+    for a, b in zip(jax.tree.leaves(state_scan.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2.5 * args.lr)
+
+
+def test_scan_epoch_multidevice(tmp_path):
+    """Scan-epoch training on the full 8-device data mesh: staged dataset
+    sharded over 'data', shard-local gathers, GSPMD grad sync."""
+    from dahitra_tpu.train.engine import CDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    arrays = synthetic_arrays(16, size=32)
+    mesh = make_mesh(n_data=8, n_space=1)
+    args = make_args(tmp_path, project_name="scan8", net_G="base_resnet18",
+                     img_size=32, batch_size=8, max_epochs=1)
+    args.scan_epoch = True
+    tr = CDTrainer(args, arrays, arrays, mesh=mesh)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), tr.state.params)
+    scores = tr.train_one_epoch(0)
+    assert 0.0 <= scores["mf1"] <= 1.0
+    changed = jax.tree.map(lambda a, b: not np.allclose(a, np.asarray(b)),
+                           p0, tr.state.params)
+    assert any(jax.tree.leaves(changed))
