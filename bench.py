@@ -1,20 +1,25 @@
-"""Headline benchmark: LEVIR-CD evaluation throughput of the flagship
-DAHiTra model on one TPU chip.
+"""Headline benchmark: LEVIR-CD throughput of the flagship DAHiTra model on
+one TPU chip — evaluation AND training, with achieved-FLOP/s (MFU) readings.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line. Required fields ({metric, value, unit, vs_baseline})
+carry the eval headline; extra fields report the train-step metric and MFU:
 
-Baseline: the reference's logged eval throughput of ~68 image-pairs/s
-(`imps: 67.77`, checkpoints/CROP_.../log.txt on its 2022 GPU; BASELINE.md).
+  train_imps            image-pairs/s/chip through the one-dispatch
+                        scan-epoch TRAIN step (fwd+bwd+AdamW+CM) at the
+                        run_cd.sh recipe config (256px, batch 8, bf16)
+  train_vs_baseline     vs the reference's 67.77 img/s log line — which is
+                        its training-run throughput counter (BASELINE.md)
+  eval_tflops/train_tflops  achieved TFLOP/s (XLA cost_analysis flops/time)
+  eval_mfu_pct/train_mfu_pct  vs the chip's measured 135 TFLOP/s bf16
+                        matmul ceiling (memory: chip calibration)
 
-Pipeline measured = the framework's one-dispatch epoch evaluation
-(CDEvaluator.eval_epoch_scan): the uint8 eval set is staged in HBM once
-(LEVIR-scale splits fit easily in 16 GB), then a single jitted lax.scan
-runs normalize -> DAHiTra bf16 forward -> argmax -> confusion-matrix
-accumulation for every batch; one (2, 2) matrix returns to host. This is
-the steady-state per-epoch eval cost during training; the reference instead
-paid per-batch host transfers, numpy bincounts, and a mandatory JPEG dump
-(models/evaluator.py:106-131).
+Pipeline measured (eval) = the framework's one-dispatch epoch evaluation
+(CDEvaluator.eval_epoch_scan): uint8 set staged in HBM, one jitted lax.scan
+of normalize -> DAHiTra bf16 forward -> argmax -> CM; one (2, 2) matrix
+returns to host. The reference instead paid per-batch host transfers, numpy
+bincounts, and a mandatory JPEG dump (models/evaluator.py:106-131).
+Train = lax.scan of the full jitted train step (on-device augmentation,
+dice+focal loss, backward, AdamW update, CM) with the TrainState as carry.
 """
 from __future__ import annotations
 
@@ -27,21 +32,39 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMPS = 67.77
-BATCH = 32
+CHIP_BF16_TFLOPS = 135.0  # measured matmul ceiling on this v5e chip
 IMG = 256
-N_BATCHES = 32
+EVAL_BATCH = 32
+EVAL_BATCHES = 32
+TRAIN_BATCH = 8  # run_cd.sh recipe batch size
+TRAIN_STEPS = 32
 REPEATS = 3
 
 
-def main():
+def _timed(fn, *args):
+    np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # compile+sync
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # tunnel-safe sync
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def _flops(fn, *args):
+    try:
+        an = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_eval(model, variables):
     from dahitra_tpu.data.augment import augment_pairs
     from dahitra_tpu.metrics.confusion import batch_confusion_matrix
-    from dahitra_tpu.models import define_g
-
-    model = define_g("newUNetTrans", dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
-    variables = jax.jit(lambda k, a, b: model.init(k, a, b, False))(key, dummy, dummy)
 
     def eval_batch(variables, a_u8, b_u8, l_u8):
         a, b, label = augment_pairs(a_u8, b_u8, l_u8, jax.random.PRNGKey(0),
@@ -54,36 +77,112 @@ def main():
         def body(cm, xs):
             return cm + eval_batch(variables, *xs), None
 
-        init = jnp.zeros((2, 2), jnp.int32)
-        cm, _ = jax.lax.scan(body, init, (a_all, b_all, l_all))
+        cm, _ = jax.lax.scan(body, jnp.zeros((2, 2), jnp.int32),
+                             (a_all, b_all, l_all))
         return cm
 
     rng = np.random.default_rng(0)
-    a_all = jnp.asarray(rng.integers(0, 255, (N_BATCHES, BATCH, IMG, IMG, 3),
-                                     dtype=np.uint8))
-    b_all = jnp.asarray(rng.integers(0, 255, (N_BATCHES, BATCH, IMG, IMG, 3),
-                                     dtype=np.uint8))
-    l_all = jnp.asarray(rng.integers(0, 2, (N_BATCHES, BATCH, IMG, IMG)
-                                     ).astype(np.uint8))
+    shape = (EVAL_BATCHES, EVAL_BATCH, IMG, IMG)
+    a_all = jnp.asarray(rng.integers(0, 255, shape + (3,), dtype=np.uint8))
+    b_all = jnp.asarray(rng.integers(0, 255, shape + (3,), dtype=np.uint8))
+    l_all = jnp.asarray(rng.integers(0, 2, shape).astype(np.uint8))
     jax.block_until_ready((a_all, b_all, l_all))
 
-    # Warmup / compile. NOTE: on the tunneled chip block_until_ready
-    # returns before the device finishes; np.asarray forces a real sync.
-    np.asarray(eval_epoch(variables, a_all, b_all, l_all))
+    dt = _timed(eval_epoch, variables, a_all, b_all, l_all)
+    imps = EVAL_BATCHES * EVAL_BATCH / dt
+    # cost_analysis of a lax.scan counts its body ONCE; take the
+    # single-batch forward and scale by the batch count.
+    fl = _flops(lambda v, a, b: model.apply(v, a, b, False),
+                variables,
+                jnp.zeros((EVAL_BATCH, IMG, IMG, 3), jnp.bfloat16),
+                jnp.zeros((EVAL_BATCH, IMG, IMG, 3), jnp.bfloat16))
+    return imps, fl * EVAL_BATCHES / dt / 1e12 if fl else 0.0
 
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.time()
-        cm = np.asarray(eval_epoch(variables, a_all, b_all, l_all))
-        times.append(time.time() - t0)
-    dt = min(times)
 
-    imps = N_BATCHES * BATCH / dt
+def bench_train():
+    import argparse
+    import tempfile
+
+    from dahitra_tpu.core.mesh import make_mesh
+    from dahitra_tpu.train.engine import CDTrainer
+
+    rng = np.random.default_rng(1)
+    n = TRAIN_BATCH * TRAIN_STEPS
+    arrays = {
+        "a": rng.integers(0, 255, (n, IMG, IMG, 3), dtype=np.uint8),
+        "b": rng.integers(0, 255, (n, IMG, IMG, 3), dtype=np.uint8),
+        "label": rng.integers(0, 2, (n, IMG, IMG)).astype(np.uint8),
+    }
+    with tempfile.TemporaryDirectory() as td:
+        args = argparse.Namespace(
+            gpu_ids="0", project_name="bench", checkpoint_root=td,
+            num_workers=0, dataset="CDDataset", data_name="LEVIR",
+            batch_size=TRAIN_BATCH, split="train", split_val="val",
+            img_size=IMG, n_class=2, net_G="newUNetTrans", loss="ce",
+            optimizer="adamw", lr=1e-3, max_epochs=1, lr_policy="linear",
+            lr_decay_iters=100, bf16=True, seed=0, scan_epoch=True,
+            checkpoint_dir=td, vis_dir=td)
+        mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+        tr = CDTrainer(args, arrays, arrays, mesh=mesh)
+        tr._stage_train()
+        n_batches = tr._staged_n // TRAIN_BATCH
+        perm = jnp.asarray(tr._epoch_perm(0, n_batches, TRAIN_BATCH))
+        keys = jax.random.split(jax.random.PRNGKey(0), n_batches)
+        a_f, b_f, l_f = tr._staged_train
+
+        state = tr.state
+
+        def run(state):
+            st, losses, cm = tr._train_epoch_scan(state, a_f, b_f, l_f,
+                                                  perm, keys)
+            return st, losses
+
+        # compile+warm (donated state: rebuild per call)
+        st, losses = run(state)
+        np.asarray(losses)
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            st, losses = run(st)
+            np.asarray(losses)
+            times.append(time.time() - t0)
+        dt = min(times)
+    imps = n_batches * TRAIN_BATCH / dt
+    return imps, dt, n_batches
+
+
+def main():
+    from dahitra_tpu.models import define_g
+
+    model = define_g("newUNetTrans", dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((EVAL_BATCH, IMG, IMG, 3), jnp.bfloat16)
+    variables = jax.jit(lambda k, a, b: model.init(k, a, b, False))(
+        key, dummy, dummy)
+
+    eval_imps, eval_tflops = bench_eval(model, variables)
+    train_imps, train_dt, n_batches = bench_train()
+
+    # Train FLOPs: cost_analysis on the whole donated-scan is awkward;
+    # approximate with 3x the single-forward flops (fwd + bwd ~ 2x fwd),
+    # the standard accounting.
+    fwd_fl = _flops(lambda v, a, b: model.apply(v, a, b, False),
+                    variables, dummy[:TRAIN_BATCH], dummy[:TRAIN_BATCH])
+    train_tflops = (3.0 * fwd_fl * n_batches / train_dt / 1e12
+                    if fwd_fl else 0.0)
+
     print(json.dumps({
         "metric": "levir_eval_throughput_dahitra_256px_bf16",
-        "value": round(imps, 2),
+        "value": round(eval_imps, 2),
         "unit": "image-pairs/sec/chip",
-        "vs_baseline": round(imps / BASELINE_IMPS, 2),
+        "vs_baseline": round(eval_imps / BASELINE_IMPS, 2),
+        "train_metric": "levir_train_throughput_dahitra_256px_b8_bf16",
+        "train_imps": round(train_imps, 2),
+        "train_vs_baseline": round(train_imps / BASELINE_IMPS, 2),
+        "eval_tflops": round(eval_tflops, 2),
+        "eval_mfu_pct": round(100 * eval_tflops / CHIP_BF16_TFLOPS, 2),
+        "train_tflops": round(train_tflops, 2),
+        "train_mfu_pct": round(100 * train_tflops / CHIP_BF16_TFLOPS, 2),
     }))
 
 

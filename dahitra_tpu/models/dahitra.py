@@ -110,10 +110,14 @@ class TransDiffModule(nn.Module):
         return seq.reshape(b, h, w, c)
 
     def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
-        x1 = nn.relu(self.conv_squeeze(x1))
-        x2 = nn.relu(self.conv_squeeze(x2))
-        t1 = self.tokenizer(x1)
-        t2 = self.tokenizer(x2)
+        # TPU shaping: both dates run the (BN-free) squeeze/tokenizer/decoder
+        # as ONE batch-stacked pass — numerically identical to per-date
+        # calls, but the tiny dim-32 matmuls see 2x the batch on the MXU and
+        # XLA fuses one pipeline instead of two.
+        b = x1.shape[0]
+        x12 = nn.relu(self.conv_squeeze(jnp.concatenate([x1, x2], axis=0)))
+        t12 = self.tokenizer(x12)
+        t1, t2 = t12[:b], t12[b:]
         tokens = jnp.concatenate([t1, t2], axis=1)
         if self.with_pos:
             tokens = tokens + self.pos_embedding
@@ -121,10 +125,12 @@ class TransDiffModule(nn.Module):
         t1, t2 = jnp.split(tokens, 2, axis=1)
         # V3 difference decoding (networks.py:1305-1318).
         if self.decode_dates:
-            x1 = self._decode(x1, t1)
-            x2 = self._decode(x2, t2)
+            xd = self._decode(x12, jnp.concatenate([t1, t2], axis=0))
+            x1d, x2d = xd[:b], xd[b:]
+        else:
+            x1d, x2d = x12[:b], x12[b:]
         diff_token = jnp.abs(t2 - t1)
-        diff_x = self.conv_decode(jnp.concatenate([x1, x2], axis=-1))
+        diff_x = self.conv_decode(jnp.concatenate([x1d, x2d], axis=-1))
         return self._decode(diff_x, diff_token)
 
 
@@ -218,8 +224,18 @@ class DAHiTraUNet(nn.Module):
         if x2 is None:
             # xBD 6-channel convention: x1 = cat(pre, post) on channels.
             x1, x2 = x1[..., :3], x1[..., 3:]
-        a2, a4, a8, a16 = self.forward_single(x1, train)
-        b2, b4, b8, b16 = self.forward_single(x2, train)
+        if train:
+            # BN batch statistics are per-date in the reference (each
+            # forward_single is a separate BN pass), so train mode keeps
+            # two trunk calls.
+            a2, a4, a8, a16 = self.forward_single(x1, train)
+            b2, b4, b8, b16 = self.forward_single(x2, train)
+        else:
+            # Eval BN uses running stats (per-sample): one batch-stacked
+            # trunk pass is numerically identical and halves kernel count.
+            f = self.forward_single(jnp.concatenate([x1, x2], axis=0), train)
+            (a2, b2), (a4, b4), (a8, b8), (a16, b16) = (
+                jnp.split(t, 2, axis=0) for t in f)
 
         # Level 5 (1/16): 256ch -> 32ch (networks.py:1326-1329).
         out5 = self.trans_5(a16, b16)
