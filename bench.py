@@ -34,8 +34,8 @@ import jax.numpy as jnp
 BASELINE_IMPS = 67.77
 CHIP_BF16_TFLOPS = 135.0  # measured matmul ceiling on this v5e chip
 IMG = 256
-EVAL_BATCH = 32
-EVAL_BATCHES = 32
+EVAL_BATCH = 128  # larger eval batches amortize the 32-wide head ops
+EVAL_BATCHES = 8
 TRAIN_BATCH = 8  # run_cd.sh recipe batch size
 TRAIN_STEPS = 32
 REPEATS = 3

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from dahitra_tpu.nn.blocks import (
+    PhaseUpConv,
     SemanticTokenizer,
     TransformerDecoder,
     TransformerEncoder,
@@ -192,12 +193,12 @@ class DAHiTraUNet(nn.Module):
             decoder_softmax=self.decoder_softmax, dtype=self.dtype,
             decode_dates=not self.pos_coarsest_only, name="trans_5")
         self.conv_layer2_0 = TwoLayerConv(32, dtype=self.dtype, name="conv_layer2_0")
-        self.conv_layer2 = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
-                                   name="conv_layer2")
-        self.conv_layer3 = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
-                                   name="conv_layer3")
-        self.conv_layer4 = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
-                                   name="conv_layer4")
+        # The reference's relu(conv3x3(Upsample2x(.))) heads
+        # (networks.py:1330-1351) run as phase-space convs at the PRE-upsample
+        # resolution — exact rewrite, 4x fewer input reads, full MXU lanes.
+        self.conv_layer2 = PhaseUpConv(32, dtype=self.dtype, name="conv_layer2")
+        self.conv_layer3 = PhaseUpConv(32, dtype=self.dtype, name="conv_layer3")
+        self.conv_layer4 = PhaseUpConv(32, dtype=self.dtype, name="conv_layer4")
         self.classifier = nn.Conv(self.output_nc, (3, 3), padding=1,
                                   dtype=self.dtype, name="classifier")
 
@@ -241,17 +242,15 @@ class DAHiTraUNet(nn.Module):
         out5 = self.trans_5(a16, b16)
         out5 = upsample_nearest(out5, 2)
 
-        # Level 4 (1/8): 128ch (networks.py:1331-1336).
-        out4 = self.trans_4(a8, b8) + out5
-        out4 = nn.relu(self.conv_layer4(upsample_nearest(out4, 2)))
+        # Level 4 (1/8): 128ch (networks.py:1331-1336). conv_layer4/3/2 are
+        # PhaseUpConv = relu(conv3x3(upsample2x(.))) in one fused op.
+        out4 = self.conv_layer4(self.trans_4(a8, b8) + out5)
 
         # Level 3 (1/4): 64ch (networks.py:1338-1344).
-        out3 = self.trans_3(a4, b4) + out4
-        out3 = nn.relu(self.conv_layer3(upsample_nearest(out3, 2)))
+        out3 = self.conv_layer3(self.trans_3(a4, b4) + out4)
 
         # Level 2 (1/2): conv-only fusion of both dates (networks.py:1346-1351).
         out2 = self.conv_layer2_0(jnp.concatenate([a2, b2], axis=-1), train)
-        out2 = out2 + out3
-        out2 = nn.relu(self.conv_layer2(upsample_nearest(out2, 2)))
+        out2 = self.conv_layer2(out2 + out3)
 
         return self.classifier(out2)

@@ -37,6 +37,79 @@ def upsample_bilinear(x: jax.Array, factor: int = 4) -> jax.Array:
     return jax.image.resize(x, (b, h * factor, w * factor, c), method="bilinear")
 
 
+# M[d, r, k] = 1 iff tap k of a 3x3 SAME conv over a nearest-2x upsampled
+# axis, for output phase d, lands on kernel row r of the equivalent
+# phase-space conv at the ORIGINAL resolution. Derivation: output row
+# R = 2i+d reads upsampled rows R-1, R, R+1, i.e. original rows
+# floor((2i+d+k)/2) for k in {-1,0,1}: d=0 -> {i-1, i, i}; d=1 -> {i, i, i+1}.
+# numpy constant (not jnp) so it never captures a trace.
+import numpy as _np
+
+_PHASE_TAPS = _np.asarray(
+    [[[1, 0, 0], [0, 1, 1], [0, 0, 0]],
+     [[0, 0, 0], [1, 1, 0], [0, 0, 1]]], _np.float32)
+
+
+def _phase_tap_matrices() -> _np.ndarray:
+    return _PHASE_TAPS
+
+
+def depth_to_space2(t: jax.Array) -> jax.Array:
+    """(B, H, W, 2, 2, C) phase tensor -> (B, 2H, 2W, C)."""
+    b, h, w, _, _, c = t.shape
+    return t.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+class PhaseUpConv(nn.Module):
+    """``conv3x3_SAME(nearest_up2(x)) [+bias] [+ReLU]`` as ONE conv at the
+    input resolution.
+
+    The nearest-upsampled image repeats every source pixel 2x2, so each of
+    the four output phases (di, dj) sees at most 2x2 distinct source pixels;
+    grouping the repeated taps gives an exact phase-space kernel
+    ``K[r,c,i,(di,dj,o)] = sum_{kr,kc} M[di,r,kr] M[dj,c,kc] W[kr,kc,i,o]``.
+    TPU win: the MXU output-lane dim becomes 4*features (128 for the DAHiTra
+    heads' 32) instead of 32, and the (2H, 2W) upsampled input is never
+    materialized in HBM. Parameter tree ({kernel, bias}, HWIO (3,3,Cin,Cout))
+    is identical to the nn.Conv it replaces, so torch import and checkpoints
+    are unchanged. Exact algebraic rewrite (fp32 tap sums) of the reference's
+    ``relu(conv(Upsample(x)))`` pattern (networks.py:1330-1351); equivalence
+    is asserted in tests/test_blocks.py.
+    """
+
+    features: int
+    relu: bool = True
+    fused: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        if not self.fused:
+            y = jax.lax.conv_general_dilated(
+                upsample_nearest(x, 2).astype(self.dtype),
+                kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + bias.astype(self.dtype)
+            return nn.relu(y) if self.relu else y
+        m = _phase_tap_matrices()
+        k4 = jnp.einsum("urk,vcl,klio->rciuvo", m, m,
+                        kernel.astype(jnp.float32))
+        k4 = k4.reshape(3, 3, c_in, 4 * self.features).astype(self.dtype)
+        t = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k4, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        t = t + jnp.tile(bias, 4).astype(self.dtype)
+        if self.relu:
+            t = nn.relu(t)
+        b, h, w, _ = t.shape
+        return depth_to_space2(t.reshape(b, h, w, 2, 2, self.features))
+
+
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
     return jax.lax.reduce_window(
@@ -275,6 +348,15 @@ class TransformerDecoder(nn.Module):
 
     PreNorm2 quirk preserved: the query and the memory share one LayerNorm's
     parameters per layer (help_funcs.py:43-49,170-186).
+
+    (Perf note: a lane-folded variant — 4 pixels packed into the 128-wide
+    minor dim, LN stats and the per-token-group softmax done via
+    block-structured matmuls, per-layer weights kron-lifted to 128x128 —
+    was implemented and measured SLOWER on a v5e chip at batch 32-128
+    (b128 forward 49.6 -> 69.1 ms): XLA already packs 32-wide rows into
+    vector registers for elementwise work, so the fold only added matmul
+    FLOPs. Kept out; the small-memory reassociation in CrossAttention is
+    the win that stands.)
     """
 
     dim: int

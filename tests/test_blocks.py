@@ -177,3 +177,34 @@ def test_transformer_encoder_shapes():
     params = mod.init(jax.random.PRNGKey(0), x)
     out = mod.apply(params, x)
     assert out.shape == (2, 8, 32)
+
+
+def test_phase_upconv_matches_upsample_conv():
+    """PhaseUpConv is an exact rewrite of relu(conv3x3(nearest_up2(x)))
+    (networks.py:1330-1351): fused phase-space path == naive path == a plain
+    nn.Conv on the materialized upsample, for odd/even sizes and bias."""
+    import flax.linen as nn
+
+    from dahitra_tpu.nn.blocks import PhaseUpConv, upsample_nearest
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.Conv(24, (3, 3), padding=1, name="c")(upsample_nearest(x, 2))
+            return nn.relu(y)
+
+    for h, w in ((16, 16), (7, 9)):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, 13))
+        mod = PhaseUpConv(24)
+        v = mod.init(jax.random.PRNGKey(2), x)
+        # make bias nonzero so its tiling is exercised
+        v = {"params": {"kernel": v["params"]["kernel"],
+                        "bias": jnp.arange(24, dtype=jnp.float32) * 0.1}}
+        got = mod.apply(v, x)
+        naive = PhaseUpConv(24, fused=False).apply(v, x)
+        want = Ref().apply({"params": {"c": v["params"]}}, x)
+        assert got.shape == (2, 2 * h, 2 * w, 24)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(naive), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
