@@ -53,20 +53,27 @@ def bench(fn, x0, m, label=""):
 
 
 def main():
-    module = TransformerDecoder(dim=DIM, depth=DEPTH, heads=HEADS,
-                                dim_head=64, mlp_dim=DIM, dtype=jnp.bfloat16)
+    plain = TransformerDecoder(dim=DIM, depth=DEPTH, heads=HEADS,
+                               dim_head=64, mlp_dim=DIM, pallas=False,
+                               dtype=jnp.bfloat16)
+    fused_mod = TransformerDecoder(dim=DIM, depth=DEPTH, heads=HEADS,
+                                   dim_head=64, mlp_dim=DIM, pallas=True,
+                                   dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, N, DIM), jnp.bfloat16)
     m = jax.random.normal(jax.random.PRNGKey(1), (B, L, DIM), jnp.bfloat16)
-    variables = jax.jit(module.init)(key, x, m)
+    variables = jax.jit(plain.init)(key, x, m)
     packed = pack_decoder_params(variables["params"], DEPTH)
 
-    t_xla = bench(lambda x, m: module.apply(variables, x, m), x, m,
-                  label=f"XLA decoder  (B{B} N{N} d{DEPTH})")
+    t_xla = bench(lambda x, m: plain.apply(variables, x, m), x, m,
+                  label=f"XLA plain     (B{B} N{N} d{DEPTH})")
+    t_mod = bench(lambda x, m: fused_mod.apply(variables, x, m), x, m,
+                  label=f"module pallas (B{B} N{N} d{DEPTH})")
     t_pl = bench(lambda x, m: fused_transformer_decoder(
         x, m, packed, depth=DEPTH, heads=HEADS, tile=512), x, m,
-        label=f"Pallas fused (B{B} N{N} d{DEPTH})")
-    print(f"speedup: {t_xla / t_pl:.2f}x")
+        label=f"Pallas direct (B{B} N{N} d{DEPTH})")
+    print(f"speedup vs plain: module {t_xla / t_mod:.2f}x, "
+          f"direct {t_xla / t_pl:.2f}x")
 
 
 if __name__ == "__main__":

@@ -288,6 +288,10 @@ class CrossAttention(nn.Module):
             # Q and pre-output tensors, which otherwise dominate HBM
             # traffic (measured 8x decoder speedup at 4096 queries). Exact
             # same math as the standard path, reassociated.
+            # Cast like the standard path's Dense layers would (the LN
+            # feeding us is fp32; without this the einsums promote the
+            # whole residual stream to fp32).
+            x = x.astype(self.dtype)
             dim_in = x.shape[-1]
             w_q = to_q(jnp.eye(dim_in, dtype=self.dtype))  # = kernel (no bias)
             w_q = w_q.reshape(dim_in, self.heads, self.dim_head)
@@ -366,18 +370,57 @@ class TransformerDecoder(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     softmax: bool = True
+    # True = route qualifying shapes (softmax mode, <=128 head*token lanes,
+    # tileable n) through the fused VMEM-resident Pallas kernel
+    # (pallas/fused_decoder.py), with plain-path gradients via custom_vjp.
+    # None currently means False: with the residual stream kept in bf16
+    # (see CrossAttention's cast), the XLA plain path measures 2.98 ms vs
+    # the kernel's 6.2 ms at (B32, N4096, d8) on a v5e — XLA's fusion of
+    # the tiny-matmul chain wins once no fp32 promotion inflates it.
+    pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, m: jax.Array, deterministic: bool = True) -> jax.Array:
+    def setup(self):
+        self.attn_norm = [nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+                          for _ in range(self.depth)]
+        self.attn = [CrossAttention(self.dim, self.heads, self.dim_head,
+                                    self.dropout, self.softmax, self.dtype)
+                     for _ in range(self.depth)]
+        self.ff_norm = [nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+                        for _ in range(self.depth)]
+        self.ff = [FeedForward(self.dim, self.mlp_dim, self.dropout,
+                               self.dtype) for _ in range(self.depth)]
+
+    def _packed_params(self):
+        from dahitra_tpu.pallas.fused_decoder import pack_decoder_params
+
+        tree = {}
         for i in range(self.depth):
-            norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"attn_norm_{i}")
-            x = x + CrossAttention(
-                self.dim, self.heads, self.dim_head, self.dropout, self.softmax,
-                self.dtype, name=f"attn_{i}")(norm(x), norm(m), deterministic)
-            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ff_norm_{i}")(x)
-            x = x + FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype,
-                                name=f"ff_{i}")(h, deterministic)
+            tree[f"attn_norm_{i}"] = self.attn_norm[i].variables["params"]
+            tree[f"attn_{i}"] = self.attn[i].variables["params"]
+            tree[f"ff_norm_{i}"] = self.ff_norm[i].variables["params"]
+            tree[f"ff_{i}"] = self.ff[i].variables["params"]
+        return pack_decoder_params(tree, self.depth)
+
+    def __call__(self, x: jax.Array, m: jax.Array, deterministic: bool = True) -> jax.Array:
+        from dahitra_tpu.pallas.fused_decoder import (make_fused_decoder,
+                                                      pick_tile)
+
+        tile = pick_tile(x.shape[-2])
+        use_pallas = bool(self.pallas)
+        use_pallas = (use_pallas and not self.is_initializing()
+                      and self.softmax
+                      and (deterministic or self.dropout == 0.0)
+                      and tile is not None
+                      and self.heads * m.shape[-2] <= 128
+                      and x.shape[-1] == self.dim)
+        if use_pallas:
+            fn = make_fused_decoder(self.depth, self.heads, tile, self.dtype)
+            return fn(x, m, self._packed_params()).astype(x.dtype)
+        for i in range(self.depth):
+            norm = self.attn_norm[i]
+            x = x + self.attn[i](norm(x), norm(m), deterministic)
+            x = x + self.ff[i](self.ff_norm[i](x), deterministic)
         return x
 
 

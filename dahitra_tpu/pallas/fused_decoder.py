@@ -104,12 +104,36 @@ def _decoder_kernel(x_ref, m_ref,
                     bo_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
                     b2_ref, out_ref, *, depth: int, heads: int, dim: int,
                     precise: bool):
+    """Reassociated ("v2") kernel body.
+
+    v1 ran the textbook per-head attention, producing (TILE, L) and
+    (TILE, hd) tensors in a static head loop — L=4-wide lanes and 2*heads
+    extra pixel-axis matmuls per layer; XLA beat it (see module docstring
+    history). The small-memory reassociation used by
+    nn.blocks.CrossAttention folds the head loop onto the WEIGHT side:
+
+      Af = [Wq_h K_h^T]_h           (dim, heads*L)  - tiny, per layer
+      Z  = [V_h Wout_h]_h           (heads*L, dim)  - tiny, per layer
+      dots = LN(x) Af * dim**-0.5   (TILE, heads*L) - one full-lane matmul
+      attn = per-L-group softmax    (row-max shift is constant per group,
+                                     so each group's softmax is EXACT)
+      x   += attn Z + b_out         (TILE, heads*L)@(heads*L, dim)
+
+    Every pixel-axis op is now (TILE, 32)-shaped, the head loop touches
+    only (dim, hd)x(hd, L) weight products, and the whole depth-8 stack
+    still reads/writes the activation HBM exactly once.
+    """
     _mm = _make_mm(precise)
     x = x_ref[0].astype(jnp.float32)          # (TILE, dim)
     m = m_ref[0].astype(jnp.float32)          # (L, dim)
     scale = dim ** -0.5                       # model-dim scaling quirk
-    n = x.shape[0]
     l = m.shape[0]
+    hl = heads * l
+    # Segment-sum matrix over each head's L token lanes: S[i,j] = 1 iff
+    # lanes i, j belong to the same head group.
+    row = jax.lax.broadcasted_iota(jnp.int32, (hl, hl), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hl, hl), 1)
+    sseg = (row // l == col // l).astype(jnp.float32)
 
     for d in range(depth):                    # static unroll
         ln1s = ln1s_ref[d].astype(jnp.float32)
@@ -117,23 +141,27 @@ def _decoder_kernel(x_ref, m_ref,
         xn = _layer_norm(x, ln1s, ln1b)
         mn = _layer_norm(m, ln1s, ln1b)       # PreNorm2 shared LN
 
-        q = _mm(xn, wq_ref[d])                            # (n, H*D)
         k = _mm(mn, wk_ref[d])                            # (l, H*D)
         v = _mm(mn, wv_ref[d])
-
-        # Static head loop: Mosaic's dot_general can't batch on a middle
-        # dim ("batch dims pos must be 0"); per-head 2D dots instead.
-        hd = q.shape[-1] // heads
-        ctx_heads = []
-        for h in range(heads):
-            qh = q[:, h * hd:(h + 1) * hd]          # (n, hd)
-            kh = k[:, h * hd:(h + 1) * hd]          # (l, hd)
+        hd = k.shape[-1] // heads
+        af_cols, z_rows = [], []
+        for h in range(heads):                # tiny weight-side products
+            wqh = wq_ref[d][:, h * hd:(h + 1) * hd]       # (dim, hd)
+            kh = k[:, h * hd:(h + 1) * hd]                # (l, hd)
             vh = v[:, h * hd:(h + 1) * hd]
-            dots = _mm(qh, kh.T) * scale
-            attn = jax.nn.softmax(dots, axis=-1)
-            ctx_heads.append(_mm(attn, vh))
-        ctx = jnp.concatenate(ctx_heads, axis=-1)
-        x = x + _mm(ctx, wo_ref[d]) + bo_ref[d].astype(jnp.float32)
+            woh = wo_ref[d][h * hd:(h + 1) * hd, :]       # (hd, dim)
+            af_cols.append(_mm(wqh, kh.T))                # (dim, l)
+            z_rows.append(_mm(vh, woh))                   # (l, dim)
+        af = jnp.concatenate(af_cols, axis=1)             # (dim, hl)
+        zm = jnp.concatenate(z_rows, axis=0)              # (hl, dim)
+
+        dots = _mm(xn, af) * scale                        # (n, hl) fp32
+        # Full-row max is constant within each head's L-lane group, so
+        # subtracting it keeps every group softmax exact.
+        e = jnp.exp(dots - jnp.max(dots, axis=-1, keepdims=True))
+        denom = jnp.dot(e, sseg, preferred_element_type=jnp.float32)
+        attn = e / denom
+        x = x + _mm(attn, zm) + bo_ref[d].astype(jnp.float32)
 
         xn2 = _layer_norm(x, ln2s_ref[d].astype(jnp.float32),
                           ln2b_ref[d].astype(jnp.float32))
@@ -142,6 +170,80 @@ def _decoder_kernel(x_ref, m_ref,
         x = x + _mm(h, w2_ref[d]) + b2_ref[d].astype(jnp.float32)
 
     out_ref[0] = x.astype(out_ref.dtype)
+
+
+def plain_decoder_stack(x: jax.Array, m: jax.Array,
+                        packed: Dict[str, jax.Array], depth: int,
+                        heads: int, dtype) -> jax.Array:
+    """Pure-function replica of nn.blocks.TransformerDecoder's math from the
+    packed param layout (fp32 LayerNorm/softmax, matmuls in ``dtype``).
+    Used as the custom_vjp backward rule for the fused kernel — any
+    mathematically-equal formulation yields the same gradients — and as an
+    oracle in tests."""
+    scale = x.shape[-1] ** -0.5
+
+    def ln(t, s, b):
+        tf = t.astype(jnp.float32)
+        mu = jnp.mean(tf, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(tf * tf, axis=-1, keepdims=True)
+                          - mu * mu, 0.0)
+        return (tf - mu) * jax.lax.rsqrt(var + 1e-5) * s + b
+
+    def heads_split(t):
+        b, n, hd = t.shape
+        return t.reshape(b, n, heads, hd // heads).transpose(0, 2, 1, 3)
+
+    for d in range(depth):
+        xn = ln(x, packed["ln1_scale"][d], packed["ln1_bias"][d]).astype(dtype)
+        mn = ln(m, packed["ln1_scale"][d], packed["ln1_bias"][d]).astype(dtype)
+        q = heads_split(xn @ packed["wq"][d].astype(dtype))
+        k = heads_split(mn @ packed["wk"][d].astype(dtype))
+        v = heads_split(mn @ packed["wv"][d].astype(dtype))
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k).astype(jnp.float32) * scale
+        attn = jax.nn.softmax(dots, axis=-1).astype(dtype)
+        ctx = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        bb, hh, nn_, dd = ctx.shape
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(bb, nn_, hh * dd)
+        x = x + ctx @ packed["wo"][d].astype(dtype) + packed["bo"][d].astype(dtype)
+        xn2 = ln(x, packed["ln2_scale"][d], packed["ln2_bias"][d]).astype(dtype)
+        h = xn2 @ packed["w1"][d].astype(dtype) + packed["b1"][d].astype(dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + h @ packed["w2"][d].astype(dtype) + packed["b2"][d].astype(dtype)
+    return x
+
+
+def make_fused_decoder(depth: int, heads: int, tile: int, dtype):
+    """fused kernel forward + plain-stack backward, as one differentiable
+    function (x, m, packed) -> decoded x."""
+
+    precise = jnp.dtype(dtype) == jnp.float32
+
+    @jax.custom_vjp
+    def f(x, m, packed):
+        return fused_transformer_decoder(x, m, packed, depth=depth,
+                                         heads=heads, tile=tile,
+                                         precise=precise)
+
+    def fwd(x, m, packed):
+        return f(x, m, packed), (x, m, packed)
+
+    def bwd(res, g):
+        x, m, packed = res
+        _, vjp = jax.vjp(
+            lambda a, b, p: plain_decoder_stack(a, b, p, depth, heads, dtype),
+            x, m, packed)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def pick_tile(n: int) -> int | None:
+    """Largest supported row tile dividing n (None = shape unsupported)."""
+    for t in (512, 256, 128):
+        if n % t == 0:
+            return t
+    return None
 
 
 @functools.partial(jax.jit,
