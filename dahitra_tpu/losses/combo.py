@@ -250,19 +250,22 @@ def dual_hrnet_loss(out: dict, masks5: jax.Array) -> jax.Array:
     """Dual-HRNet split loss (xBD_code/train_dual_hrnet.py:318-346).
 
     loc: ComboLoss{dice:1, focal:8} on ``argmax`` of the 2-class loc logits
-    (train_dual_hrnet.py:337-338 — the argmax makes this term carry no
+    (train_dual_hrnet.py:336-337 — the argmax makes this term carry no
     gradient, replicated via stop_gradient; the training signal is the cls
     term). cls: 5x weighted CE (weights [0.1, 2, 1, 2]) vs the argmax of
-    the damage mask channels. Both heads are bilinearly upsampled to the
-    mask resolution first (:334-335).
+    the damage mask channels. Both heads are upsampled to the mask
+    resolution first with NEAREST interpolation (:333-334 —
+    ``F.interpolate`` without a mode argument defaults to nearest).
+    Verified numerically against the reference loss composition in
+    tests/test_dual_hrnet.py.
     """
     from dahitra_tpu.losses.cd import cross_entropy
 
     h, w = masks5.shape[1], masks5.shape[2]
     loc = out["loc"].astype(jnp.float32)
     cls = out["cls"].astype(jnp.float32)
-    loc = jax.image.resize(loc, (loc.shape[0], h, w, loc.shape[-1]), "bilinear")
-    cls = jax.image.resize(cls, (cls.shape[0], h, w, cls.shape[-1]), "bilinear")
+    loc = jax.image.resize(loc, (loc.shape[0], h, w, loc.shape[-1]), "nearest")
+    cls = jax.image.resize(cls, (cls.shape[0], h, w, cls.shape[-1]), "nearest")
 
     loc_pred = jax.lax.stop_gradient(
         jnp.argmax(loc, axis=-1).astype(jnp.float32))

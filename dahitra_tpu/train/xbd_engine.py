@@ -160,7 +160,7 @@ class XBDTrainer:
         def merge(dst, s):
             nonlocal copied, skipped
             if isinstance(dst, dict):
-                return {k: merge(v, s.get(k)) if isinstance(s, dict) else v
+                return {k: merge(v, s.get(k) if isinstance(s, dict) else None)
                         for k, v in dst.items()}
             if s is not None and getattr(s, "shape", None) == dst.shape:
                 copied += 1

@@ -70,3 +70,39 @@ def test_hrnet_trainer_smoke(tmp_path):
     trainer.train_one_epoch(0)
     scores = trainer.evaluate_and_checkpoint(0)
     assert np.isfinite(scores["score"])
+
+
+def test_dual_hrnet_loss_matches_reference_composition():
+    """Numeric oracle for dual_hrnet_loss vs the reference train loop's loss
+    (train_dual_hrnet.py:318-346): nearest-mode F.interpolate of both heads,
+    ComboLoss{dice:1,focal:8} on argmax'd loc, 5x weighted CE on cls."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from ref_oracle import load_xbd_zoo
+    from dahitra_tpu.losses.combo import dual_hrnet_loss
+
+    load_xbd_zoo()  # puts /root/reference/xBD_code on sys.path
+    import losses as ref_losses
+
+    rng = np.random.default_rng(3)
+    b, s0, s1 = 2, 8, 16
+    loc = rng.normal(size=(b, 2, s0, s0)).astype(np.float32)
+    cls = rng.normal(size=(b, 4, s0, s0)).astype(np.float32)
+    msks = (rng.random((b, 5, s1, s1)) > 0.6).astype(np.float32)
+
+    seg_loss = ref_losses.ComboLoss({"dice": 1, "focal": 8}, per_image=False)
+    ce_loss = nn.CrossEntropyLoss(weight=torch.tensor([0.10, 2.0, 1.0, 2.0]))
+    loc_t = F.interpolate(torch.tensor(loc), size=(s1, s1))
+    cls_t = F.interpolate(torch.tensor(cls), size=(s1, s1))
+    msks_t = torch.tensor(msks)
+    loss0 = seg_loss(loc_t.argmax(axis=1).float(), msks_t[:, 0])
+    true_bldg = torch.argmax(msks_t[:, 1:], dim=1)
+    want = float(loss0 + ce_loss(cls_t, true_bldg) * 5)
+
+    got = float(dual_hrnet_loss(
+        {"loc": jnp.array(np.transpose(loc, (0, 2, 3, 1))),
+         "cls": jnp.array(np.transpose(cls, (0, 2, 3, 1)))},
+        jnp.array(np.transpose(msks, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(got, want, rtol=2e-4)

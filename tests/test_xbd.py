@@ -165,3 +165,59 @@ def test_tta_roundtrip():
     # If the "model" is identity, un-TTA must reproduce the input exactly.
     np.testing.assert_allclose(np.asarray(untta_mean(views)), np.asarray(x),
                                atol=1e-6)
+
+
+@pytest.mark.slow
+def test_warm_start_copies_sibling_arch_weights(tmp_path):
+    """The loc -> damage warm start (train.py:446-462: size-filtered
+    state_dict copy from 'res34_loc_0_1_best' into Res34_Unet_Double) must
+    actually transfer the shared encoder weights."""
+    import argparse
+
+    import jax
+
+    from dahitra_tpu.core.checkpoint import save_checkpoint
+    from dahitra_tpu.core.mesh import make_mesh
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+
+    rng = np.random.default_rng(0)
+    n, s = 2, 64
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": (rng.random((n, s, s, 5)) > 0.5).astype(np.uint8),
+        "lbl_msk": rng.integers(0, 5, (n, s, s)).astype(np.uint8),
+    }
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    loc_dir = tmp_path / "loc"
+    loc_dir.mkdir()
+    loc_args = argparse.Namespace(
+        net_G="xbd_res34_loc", img_size=s, batch_size=2, val_batch_size=2,
+        lr=0.0, max_epochs=1, checkpoint_dir=str(loc_dir), bf16=False,
+        seed=0, warm_start_from=None)
+    loc = XBDTrainer(loc_args, arrays, arrays, mesh=mesh, task="loc")
+    save_checkpoint(str(loc_dir), "best_ckpt", loc.state, {"epoch": 1})
+
+    dmg_dir = tmp_path / "dmg"
+    dmg_dir.mkdir()
+    dmg_args = argparse.Namespace(
+        net_G="xbd_res34_double", img_size=s, batch_size=2,
+        val_batch_size=2, lr=0.0, max_epochs=1,
+        checkpoint_dir=str(dmg_dir), bf16=False, seed=1,
+        warm_start_from=str(loc_dir / "best_ckpt"))
+    dmg = XBDTrainer(dmg_args, arrays, arrays, mesh=mesh, task="damage")
+
+    log = (dmg_dir / "log.txt").read_text()
+    assert "warm start: copied" in log
+    n_copied = int(log.split("warm start: copied ")[1].split(" ")[0])
+    assert n_copied > 50, log  # encoder leaves must transfer
+
+    # a shared encoder leaf is bit-identical to the loc checkpoint's
+    def first_leaf(t):
+        while isinstance(t, dict):
+            t = t[sorted(t.keys())[0]]
+        return t
+
+    a = first_leaf(jax.device_get(loc.state.params))
+    b = first_leaf(jax.device_get(dmg.state.params))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
