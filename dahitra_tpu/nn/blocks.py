@@ -111,7 +111,16 @@ class PhaseUpConv(nn.Module):
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
-    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC.
+
+    Kept as lax.reduce_window deliberately: standalone microbenchmarks
+    made it look slow (10.8 ms on a (256,128,128,64) bf16 stem activation)
+    and two hand-rolled variants (stride-2 slices; pair-reshape + shifted
+    max) measured faster in isolation — but BOTH regressed the fused
+    full-model forward (42.7 -> 46.7 / 47.9 ms at batch 128 on a v5e):
+    inside the real graph XLA fuses the window reduce with its producers,
+    and the hand-rolled pads/concats break that fusion.
+    """
     return jax.lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
@@ -293,19 +302,38 @@ class CrossAttention(nn.Module):
             # whole residual stream to fp32).
             x = x.astype(self.dtype)
             dim_in = x.shape[-1]
+            hl = self.heads * n_kv
             w_q = to_q(jnp.eye(dim_in, dtype=self.dtype))  # = kernel (no bias)
             w_q = w_q.reshape(dim_in, self.heads, self.dim_head)
             kh = k.reshape(*k.shape[:-1], self.heads, self.dim_head)
             vh = v.reshape(*v.shape[:-1], self.heads, self.dim_head)
-            a = jnp.einsum("chd,bjhd->bhcj", w_q, kh)
-            dots = jnp.einsum("bnc,bhcj->bhnj", x, a).astype(jnp.float32) * scale
-            attn = jax.nn.softmax(dots, axis=-1) if self.softmax else dots
+            # Keep every (n, .)-sized tensor with heads*n_kv as the MINOR
+            # dim: a (b, h, n, n_kv) layout leaves the softmax/exp passes
+            # on 4-wide lanes (4/128 vector-lane utilization); flattened,
+            # the same math runs on hl-wide rows. Same FLOPs, exact same
+            # per-group softmax (the full-row max shift is constant within
+            # each head's token group).
+            a = jnp.einsum("chd,bjhd->bchj", w_q, kh).reshape(
+                *kh.shape[:1], dim_in, hl)
+            dots = jnp.einsum("bnc,bcm->bnm", x, a).astype(jnp.float32) * scale
+            if self.softmax:
+                e = jnp.exp(dots - jnp.max(dots, axis=-1, keepdims=True))
+                sseg = jnp.asarray(
+                    _np.kron(_np.eye(self.heads, dtype=_np.float32),
+                             _np.ones((n_kv, n_kv), _np.float32)), self.dtype)
+                denom = jax.lax.dot_general(
+                    e.astype(self.dtype), sseg, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                attn = e / denom
+            else:
+                attn = dots
             attn = attn.astype(x.dtype)
             b_out = to_out(jnp.zeros((1, inner), self.dtype))
             w_out = (to_out(jnp.eye(inner, dtype=self.dtype)) - b_out)
             w_out = w_out.reshape(self.heads, self.dim_head, self.dim)
-            z = jnp.einsum("bjhd,hdc->bhjc", vh, w_out)
-            out = jnp.einsum("bhnj,bhjc->bnc", attn, z) + b_out
+            z = jnp.einsum("bjhd,hdc->bhjc", vh, w_out).reshape(
+                *vh.shape[:1], hl, self.dim)
+            out = jnp.einsum("bnm,bmc->bnc", attn, z) + b_out
             return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
         q = to_q(x)

@@ -208,3 +208,4 @@ def test_phase_upconv_matches_upsample_conv():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(naive), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)
+
