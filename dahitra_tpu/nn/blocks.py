@@ -113,13 +113,13 @@ class PhaseUpConv(nn.Module):
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC.
 
-    Kept as lax.reduce_window deliberately: standalone microbenchmarks
-    made it look slow (10.8 ms on a (256,128,128,64) bf16 stem activation)
-    and two hand-rolled variants (stride-2 slices; pair-reshape + shifted
-    max) measured faster in isolation — but BOTH regressed the fused
-    full-model forward (42.7 -> 46.7 / 47.9 ms at batch 128 on a v5e):
-    inside the real graph XLA fuses the window reduce with its producers,
-    and the hand-rolled pads/concats break that fusion.
+    Kept as plain lax.reduce_window after THREE measured alternatives lost
+    on a v5e: stride-2-slice and pair-reshape max variants beat it
+    standalone but regressed the fused eval forward (42.7 -> 46.7/47.9 ms
+    at batch 128), and a custom_vjp that kept this forward while routing
+    the backward through the pair-reshape chain regressed the b64
+    train-step backward further still (116 -> 150 ms) — XLA's
+    SelectAndScatter gradient is already the fastest option here.
     """
     return jax.lax.reduce_window(
         x,
@@ -148,10 +148,14 @@ def max_pool_3x3_s2_ceil(x: jax.Array) -> jax.Array:
 
 
 def max_pool_2x2(x: jax.Array) -> jax.Array:
-    """torch F.max_pool2d(kernel_size=2, stride=2)."""
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
+    """torch F.max_pool2d(kernel_size=2, stride=2).
+
+    Non-overlapping windows: a free (H/2, 2, W/2, 2) reshape + max is the
+    canonical TPU form, and its gradient is elementwise selects instead of
+    reduce_window's SelectAndScatter."""
+    b, h, w, c = x.shape
+    t = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(t, axis=(2, 4))
 
 
 class TwoLayerConv(nn.Module):

@@ -209,3 +209,31 @@ def test_phase_upconv_matches_upsample_conv():
         np.testing.assert_allclose(np.asarray(naive), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)
 
+
+def test_max_pool_3x3_s2_value_and_grad():
+    """Pool forward == reduce_window semantics; gradient is finite and
+    routes to window maxima (tie-free input)."""
+    from dahitra_tpu.nn.blocks import max_pool_3x3_s2, max_pool_2x2
+
+    rng = np.random.default_rng(0)
+    # distinct values -> no ties -> both gradient conventions agree
+    x = jnp.array(rng.permutation(2 * 9 * 7 * 3).reshape(2, 9, 7, 3)
+                  .astype(np.float32))
+
+    def rw(x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    np.testing.assert_array_equal(np.asarray(max_pool_3x3_s2(x)),
+                                  np.asarray(rw(x)))
+    g = jax.grad(lambda t: jnp.sum(max_pool_3x3_s2(t) ** 2))(x)
+    g_ref = jax.grad(lambda t: jnp.sum(rw(t) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-6)
+
+    x2 = jnp.array(rng.permutation(2 * 8 * 8 * 3).reshape(2, 8, 8, 3)
+                   .astype(np.float32))
+    want = jax.lax.reduce_window(x2, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+                                 (1, 2, 2, 1), "VALID")
+    np.testing.assert_array_equal(np.asarray(max_pool_2x2(x2)),
+                                  np.asarray(want))
