@@ -56,7 +56,10 @@ def main(argv=None):
             chunks.append({"a": p.a, "b": p.b, "label": p.label})
     arrays = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
 
-    evaluator = CDEvaluator(args, arrays)
+    from dahitra_tpu.core.mesh import mesh_from_gpu_ids
+
+    evaluator = CDEvaluator(args, arrays,
+                            mesh=mesh_from_gpu_ids(args.gpu_ids))
     scores = evaluator.eval_models(save_vis=args.save_vis)
     print({k: round(v, 5) for k, v in scores.items()
            if k in ("acc", "miou", "mf1", "F1_1", "iou_1", "imps")})

@@ -1,8 +1,10 @@
 """Train + test CLI for the change-detection stack.
 
 Flag-compatible rebuild of the reference main_cd.py:31-80 (same flag names
-so scripts/run_cd.sh recipes port unchanged; --gpu_ids is accepted and
-ignored — device selection is JAX's).
+so scripts/run_cd.sh recipes port unchanged). --gpu_ids selects the mesh
+devices the way the reference selects DataParallel GPUs
+(utils.py:98-107, networks.py:121-126): '0' = one device, '0,1' = data
+parallel over two.
 
 Usage (fixture quick start):
   python -m dahitra_tpu.cli.main_cd --data_name LEVIR --net_G newUNetTrans \
@@ -15,6 +17,7 @@ from __future__ import annotations
 import os
 from argparse import ArgumentParser
 
+from dahitra_tpu.core.mesh import mesh_from_gpu_ids
 from dahitra_tpu.data.levir import load_levir_split
 from dahitra_tpu.data.registry import get_data_config
 from dahitra_tpu.evalx.evaluator import CDEvaluator
@@ -83,7 +86,8 @@ def train(args):
                                  cfg.label_transform,
                                  allow_missing_labels=allow)
     trainer = CDTrainer(args, pairs_to_arrays(train_pairs),
-                        pairs_to_arrays(val_pairs))
+                        pairs_to_arrays(val_pairs),
+                        mesh=mesh_from_gpu_ids(args.gpu_ids))
     trainer.train_models()
 
 
@@ -96,7 +100,8 @@ def test(args):
                              cfg.label_transform,
                              allow_missing_labels=getattr(
                                  args, "allow_missing_labels", False))
-    evaluator = CDEvaluator(args, pairs_to_arrays(pairs))
+    evaluator = CDEvaluator(args, pairs_to_arrays(pairs),
+                            mesh=mesh_from_gpu_ids(args.gpu_ids))
     evaluator.eval_models()
 
 

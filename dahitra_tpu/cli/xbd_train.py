@@ -14,6 +14,7 @@ from argparse import ArgumentParser
 
 import numpy as np
 
+from dahitra_tpu.core.mesh import mesh_from_gpu_ids
 from dahitra_tpu.data.xbd import (load_xbd_pairs, scan_xbd_files,
                                   split_and_upsample)
 from dahitra_tpu.train.xbd_engine import XBDTrainer
@@ -46,6 +47,10 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--eval_every", default=2, type=int)
+    parser.add_argument("--gpu_ids", default="0", type=str,
+                        help="mesh devices; the reference xBD scripts "
+                             "DataParallel over all visible GPUs "
+                             "(train.py:465), here explicit")
     args = parser.parse_args(argv)
     args.checkpoint_dir = os.path.join(args.checkpoint_root, args.project_name)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
@@ -69,9 +74,11 @@ def main(argv=None):
         from dahitra_tpu.train.xbd_engine import GANTrainer
 
         trainer = GANTrainer(args, train_pairs.arrays(), val_pairs.arrays(),
+                             mesh=mesh_from_gpu_ids(args.gpu_ids),
                              effective_gan=args.effective_gan)
     else:
         trainer = XBDTrainer(args, train_pairs.arrays(), val_pairs.arrays(),
+                             mesh=mesh_from_gpu_ids(args.gpu_ids),
                              task=args.task)
     trainer.train_models(eval_every=args.eval_every)
 

@@ -38,6 +38,25 @@ def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
     return Mesh(arr, ("data", "space"))
 
 
+def mesh_from_gpu_ids(gpu_ids: str, n_space: int = 1) -> Mesh:
+    """Reference ``--gpu_ids`` semantics (main_cd.py:35, utils.py:98-107):
+    comma-separated device ordinals; several ids meant nn.DataParallel over
+    them (networks.py:121-126). Maps to the mesh 'data' axis over the
+    chosen jax devices. Ordinals beyond the available device count are
+    dropped (at least one device is always kept) so fixture runs on a
+    single chip or a virtual CPU mesh behave like the reference's
+    single-GPU default."""
+    try:
+        ids = [int(t) for t in str(gpu_ids).split(",") if t.strip() != ""]
+    except ValueError:
+        ids = [0]
+    devs = jax.devices()
+    sel = [devs[i] for i in ids if 0 <= i < len(devs)] or devs[:1]
+    n_space = min(n_space, len(sel))
+    return make_mesh(n_data=len(sel) // n_space, n_space=n_space,
+                     devices=sel)
+
+
 def batch_sharding(mesh: Mesh, spatial: bool = True) -> NamedSharding:
     """Sharding for NHWC image batches: batch over 'data', rows over 'space'."""
     if spatial:

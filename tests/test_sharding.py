@@ -124,3 +124,20 @@ def test_spatial_sharding_forward():
     out_local = model.apply(variables, a, b)
     np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_local),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_mesh_from_gpu_ids():
+    """--gpu_ids maps to mesh devices like the reference's DataParallel id
+    list (utils.py:98-107): '0'=1 device, '0,1'=2, bad/overflowing ids
+    degrade to one device."""
+    import jax
+
+    from dahitra_tpu.core.mesh import mesh_from_gpu_ids
+
+    assert mesh_from_gpu_ids("0").devices.size == 1
+    assert mesh_from_gpu_ids("0,1").devices.size == 2
+    assert mesh_from_gpu_ids("0,1,2,3").devices.size == 4
+    assert mesh_from_gpu_ids("99").devices.size == 1
+    assert mesh_from_gpu_ids("junk").devices.size == 1
+    m = mesh_from_gpu_ids("0,1,2,3", n_space=2)
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 2, "space": 2}
