@@ -687,6 +687,17 @@ def import_reference_checkpoint(path: str, net_g: str):
         params, stats = convert_xbd_unet_change_transformer(sd, bit=False)
     elif net_g == "xbd_unet_change_transformer_bit":
         params, stats = convert_xbd_unet_change_transformer(sd, bit=True)
+    elif net_g == "xbd_bit":
+        # zoo BASE_Transformer (xBD_code/train.py:54-62): 6-ch input split
+        # internally, output_nc 5, enc_depth 1, dec_depth 8; weight layout
+        # identical to the LEVIR BIT (oracle: tests/test_oracle_parity.py).
+        params, stats = convert_bit(sd, enc_depth=1, dec_depth=8)
+    elif net_g in ("xbd_dpn92_loc", "xbd_dpn92_double"):
+        raise NotImplementedError(
+            "the reference's Dpn92 UNets are unconstructable as shipped: "
+            "zoo/models.py:256 uses an undefined 'dpn92' symbol (NameError "
+            "at construction), so no reference checkpoint of them can "
+            "exist to import")
     else:
         raise NotImplementedError(f"no torch importer for {net_g}")
     return {"params": params, "batch_stats": stats}
