@@ -46,10 +46,16 @@ def mesh_from_gpu_ids(gpu_ids: str, n_space: int = 1) -> Mesh:
     dropped (at least one device is always kept) so fixture runs on a
     single chip or a virtual CPU mesh behave like the reference's
     single-GPU default."""
-    try:
-        ids = [int(t) for t in str(gpu_ids).split(",") if t.strip() != ""]
-    except ValueError:
-        ids = [0]
+    ids = []
+    for t in str(gpu_ids).split(","):
+        t = t.strip()
+        if not t:
+            continue
+        try:
+            ids.append(int(t))
+        except ValueError:
+            raise ValueError(
+                f"--gpu_ids {gpu_ids!r}: {t!r} is not a device ordinal")
     devs = jax.devices()
     sel = [devs[i] for i in ids if 0 <= i < len(devs)] or devs[:1]
     n_space = min(n_space, len(sel))

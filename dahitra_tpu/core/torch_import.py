@@ -660,7 +660,9 @@ def import_reference_checkpoint(path: str, net_g: str):
     elif net_g == "siamUnet_conc":
         params, stats = convert_siam_unet_conc(sd)
     elif net_g.startswith("base_transformer"):
-        dec_depth = 8 if "dd8" in net_g else (4 if "e2d4" in net_g else 1)
+        # 'e2d4' must win over 'dd8': base_transformer_pos_s4_dd8_t8_e2d4
+        # is enc_depth 2 / dec_depth 4 (networks.py:148-150).
+        dec_depth = 4 if "e2d4" in net_g else (8 if "dd8" in net_g else 1)
         enc_depth = 2 if "e2d4" in net_g else 1
         params, stats = convert_bit(sd, enc_depth, dec_depth)
     elif net_g in ("siamUnet", "xbd_res34_double", "xbd_adapt_res34"):

@@ -180,9 +180,10 @@ def clahe(img, clip_limit: float = 2.0, tiles: int = 5):
 def photometric_tree(img, key):
     """The per-image probability tree (data_utils.py:204-226): sequential
     uniform draws with the reference's thresholds."""
-    ks = jax.random.split(key, 9)
+    ks = jax.random.split(key, 10)
     r = [jax.random.uniform(k, ()) for k in ks[:8]]
     a_key = ks[8]
+    noise_key = ks[9]  # independent of the r[2] gate draw
     alpha = 0.9 + jax.random.uniform(a_key, ()) * 0.2
 
     branch1 = r[0] > 0.98
@@ -195,7 +196,7 @@ def photometric_tree(img, key):
     pick_con = branch2 & (~(r[5] > 0.985)) & (~(r[6] > 0.985)) & (r[7] > 0.985)
 
     out = jnp.where(pick_clahe, clahe(img), img)
-    out = jnp.where(pick_noise, gauss_noise(img, ks[2]), out)
+    out = jnp.where(pick_noise, gauss_noise(img, noise_key), out)
     out = jnp.where(pick_blur, box_blur3(img), out)
     out = jnp.where(pick_sat, saturation(img, alpha), out)
     out = jnp.where(pick_bri, brightness(img, alpha), out)

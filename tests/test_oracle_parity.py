@@ -471,3 +471,32 @@ def test_res34_unet_double_forward_parity():
     ours = _apply("xbd_res34_double", {"params": p, "batch_stats": s}, x6,
                   img_size=64)
     np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_bit_t8_e2d4_forward_parity_via_import_dispatch():
+    """'base_transformer_pos_s4_dd8_t8_e2d4' (networks.py:148-150: token_len
+    8, enc_depth 2, dec_depth 4, decoder_dim_head 8). Regression for the
+    importer's key parsing: 'e2d4' must override the 'dd8' substring."""
+    import tempfile
+
+    import torch
+
+    from dahitra_tpu.core.torch_import import import_reference_checkpoint
+
+    rn = load_reference().networks
+    torch.manual_seed(2)
+    net = rn.BASE_Transformer(input_nc=3, output_nc=2, token_len=8,
+                              resnet_stages_num=4, with_pos='learned',
+                              enc_depth=2, dec_depth=4,
+                              decoder_dim_head=8).eval()
+    with tempfile.NamedTemporaryFile(suffix=".pt") as f:
+        torch.save(net.state_dict(), f.name)
+        variables = import_reference_checkpoint(
+            f.name, "base_transformer_pos_s4_dd8_t8_e2d4")
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    b = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    ref = torch_forward_nhwc(net, a, b)
+    ours = _apply("base_transformer_pos_s4_dd8_t8_e2d4", variables, a, b,
+                  img_size=64)
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)

@@ -138,6 +138,8 @@ def test_mesh_from_gpu_ids():
     assert mesh_from_gpu_ids("0,1").devices.size == 2
     assert mesh_from_gpu_ids("0,1,2,3").devices.size == 4
     assert mesh_from_gpu_ids("99").devices.size == 1
-    assert mesh_from_gpu_ids("junk").devices.size == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mesh_from_gpu_ids("junk")  # malformed ids fail loudly
     m = mesh_from_gpu_ids("0,1,2,3", n_space=2)
     assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 2, "space": 2}
