@@ -6,7 +6,7 @@ from argparse import ArgumentParser
 import jax
 import jax.numpy as jnp
 
-from dahitra_tpu.models.registry import available_models, define_g
+from dahitra_tpu.models.registry import define_g
 
 
 def count(net_g: str, img_size: int = 64) -> int:

@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from argparse import ArgumentParser
 
-import numpy as np
-
 from dahitra_tpu.core.mesh import mesh_from_gpu_ids
 from dahitra_tpu.data.xbd import (load_xbd_pairs, scan_xbd_files,
                                   split_and_upsample)

@@ -17,7 +17,7 @@ Outputs keep the reference's artifacts: scores line in log_test.txt, the
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

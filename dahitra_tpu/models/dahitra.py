@@ -36,7 +36,7 @@ networks.py:1221-1238; all widths are 32.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ the pretrainedmodels DPN it builds on):
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ BN momentum is 0.01 (dual_hrnet.py:25) -> flax momentum 0.99.
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import flax.linen as nn
 import jax

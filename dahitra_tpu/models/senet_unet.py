@@ -17,7 +17,7 @@ Parity targets (reference /root/reference/xBD_code/zoo):
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

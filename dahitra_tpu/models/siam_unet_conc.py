@@ -13,7 +13,7 @@ Dropout2d(p=0.2) after every conv follows the reference; spatial dropout
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

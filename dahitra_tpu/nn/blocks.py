@@ -16,7 +16,7 @@ Behavioral parity notes (reference /root/reference/models/help_funcs.py):
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ models/networks.py:233-257 and :1118-1138).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ from dahitra_tpu.core.state import TrainState
 from dahitra_tpu.data.augment import augment_pairs
 from dahitra_tpu.data.loader import BatchLoader
 from dahitra_tpu.losses.cd import levir_train_loss
-from dahitra_tpu.metrics.confusion import batch_confusion_matrix, cm2f1, cm2score
+from dahitra_tpu.metrics.confusion import batch_confusion_matrix, cm2score
 from dahitra_tpu.models.registry import define_g
 from dahitra_tpu.nn.init import init_weights_variables
 from dahitra_tpu.train.optim import epoch_lr, make_optimizer, set_learning_rate

@@ -24,9 +24,8 @@ counters come back per batch.
 """
 from __future__ import annotations
 
-import functools
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
