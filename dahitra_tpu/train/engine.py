@@ -164,7 +164,10 @@ class CDTrainer:
         shard — no cross-chip collective in the hot loop."""
         if self.n_devices == 1:
             return jnp.take(full, idx, axis=0)
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         ndim_specs = P("data", *([None] * (full.ndim - 1)))

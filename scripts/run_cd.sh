@@ -4,7 +4,7 @@
 # 200 epochs, 256px, batch 4. bf16 keeps the MXU on the fast path.
 set -e
 
-gpus=0                       # accepted for recipe compatibility; unused
+gpus=0                       # device ordinals for the mesh (e.g. 0,1 = data parallel)
 checkpoint_root=checkpoints
 data_name=LEVIR
 img_size=256
