@@ -57,8 +57,26 @@ def mesh_from_gpu_ids(gpu_ids: str, n_space: int = 1) -> Mesh:
             raise ValueError(
                 f"--gpu_ids {gpu_ids!r}: {t!r} is not a device ordinal")
     devs = jax.devices()
-    sel = [devs[i] for i in ids if 0 <= i < len(devs)] or devs[:1]
+    # De-duplicate preserving order ('0,0' would otherwise reach make_mesh
+    # and fail with an opaque duplicate-device error) and surface every
+    # dropped ordinal so a degraded selection is visible to the user.
+    seen: set = set()
+    uniq = [i for i in ids if not (i in seen or seen.add(i))]
+    if len(uniq) < len(ids):
+        print(f"warning: --gpu_ids {gpu_ids!r} has duplicate ordinals; "
+              f"using {uniq}")
+    sel = [devs[i] for i in uniq if 0 <= i < len(devs)]
+    oob = [i for i in uniq if not 0 <= i < len(devs)]
+    if oob:
+        print(f"warning: --gpu_ids ordinals {oob} out of range "
+              f"(only {len(devs)} device(s) visible); dropped")
+    if not sel:
+        sel = devs[:1]
     n_space = min(n_space, len(sel))
+    n_used = (len(sel) // n_space) * n_space
+    if n_used < len(sel):
+        print(f"warning: {len(sel)} selected device(s) not divisible by "
+              f"n_space={n_space}; using the first {n_used}")
     return make_mesh(n_data=len(sel) // n_space, n_space=n_space,
                      devices=sel)
 

@@ -152,8 +152,11 @@ def max_pool_2x2(x: jax.Array) -> jax.Array:
 
     Non-overlapping windows: a free (H/2, 2, W/2, 2) reshape + max is the
     canonical TPU form, and its gradient is elementwise selects instead of
-    reduce_window's SelectAndScatter."""
+    reduce_window's SelectAndScatter. Odd trailing rows/cols are sliced off
+    first — torch floors odd dims (discarding the partial window), so the
+    slice is exact parity, and it is a no-op for even shapes."""
     b, h, w, c = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2, :]
     t = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return jnp.max(t, axis=(2, 4))
 
@@ -321,12 +324,22 @@ class CrossAttention(nn.Module):
                 *kh.shape[:1], dim_in, hl)
             dots = jnp.einsum("bnc,bcm->bnm", x, a).astype(jnp.float32) * scale
             if self.softmax:
-                e = jnp.exp(dots - jnp.max(dots, axis=-1, keepdims=True))
+                # Max shift PER head group (a reshape view, still flattened
+                # for the matmuls): a global row max would underflow every
+                # head whose logits sit >~88 below another head's max,
+                # zeroing its denom and producing NaNs.
+                mx = jnp.max(dots.reshape(*dots.shape[:-1], self.heads, n_kv),
+                             axis=-1, keepdims=True)
+                e = jnp.exp(dots - jnp.broadcast_to(
+                    mx, (*dots.shape[:-1], self.heads, n_kv)).reshape(dots.shape))
                 sseg = jnp.asarray(
                     _np.kron(_np.eye(self.heads, dtype=_np.float32),
-                             _np.ones((n_kv, n_kv), _np.float32)), self.dtype)
+                             _np.ones((n_kv, n_kv), _np.float32)))
+                # e stays fp32 through the segment-sum (the matmul is tiny);
+                # casting it to bf16 first cost ~0.4% rounding on the
+                # attention weights vs the standard path's fp32 softmax.
                 denom = jax.lax.dot_general(
-                    e.astype(self.dtype), sseg, (((2,), (0,)), ((), ())),
+                    e, sseg, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 attn = e / denom
             else:
@@ -410,6 +423,11 @@ class TransformerDecoder(nn.Module):
     # the kernel's 6.2 ms at (B32, N4096, d8) on a v5e — XLA's fusion of
     # the tiny-matmul chain wins once no fp32 promotion inflates it.
     pallas: Optional[bool] = None
+    # None/True = run qualifying shapes through nn/decoder_vjp.decoder_stack:
+    # same forward math, hand-written backward (bf16 residuals, recomputed
+    # LN/GELU, fused weight-side reductions) — XLA autodiff's backward for
+    # this stack runs 3-4x its forward (see decoder_vjp module docstring).
+    fast_vjp: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -449,6 +467,22 @@ class TransformerDecoder(nn.Module):
         if use_pallas:
             fn = make_fused_decoder(self.depth, self.heads, tile, self.dtype)
             return fn(x, m, self._packed_params()).astype(x.dtype)
+        n_kv = m.shape[-2]
+        import os as _os
+        use_fast = (self.fast_vjp is not False
+                    and _os.environ.get("DAHITRA_FAST_VJP", "1") != "0")
+        use_fast = (use_fast and not self.is_initializing()
+                    and self.softmax
+                    and (deterministic or self.dropout == 0.0)
+                    and n_kv <= 16 and x.shape[-2] > 4 * n_kv
+                    and self.heads * n_kv <= 128
+                    and x.shape[-1] == self.dim)
+        if use_fast:
+            from dahitra_tpu.nn.decoder_vjp import decoder_stack
+
+            return decoder_stack(x.astype(self.dtype), m.astype(self.dtype),
+                                 self._packed_params(), self.depth,
+                                 self.heads, self.dtype)
         for i in range(self.depth):
             norm = self.attn_norm[i]
             x = x + self.attn[i](norm(x), norm(m), deterministic)

@@ -1,0 +1,272 @@
+"""Hand-written VJP for the cross-attention TransformerDecoder stack.
+
+Why this exists (measured on the v5e, b64 DAHiTra train step): XLA's
+autodiff backward for the depth-8 decoder runs 3-4x its forward
+(17.8 ms fwd+bwd vs 4.3 ms fwd at b128/n4096) because it
+  * saves every fp32 intermediate the forward touches (LN outputs, dots,
+    attn, GELU inputs - each a (B, N, 32) fp32 HBM round-trip), and
+  * emits the per-batch weight-side reductions ``attn^T @ d_out`` /
+    ``h^T @ d_dots`` as (32, n)x(n, 32) batched matmuls whose 32x32 output
+    tiles use 1/16th of the MXU.
+
+This custom_vjp reassociates the backward the way the forward already is
+(nn/blocks.py CrossAttention small-memory path):
+  * residuals are saved in the compute dtype (bf16): per layer only
+    ``x_in``, ``attn``, ``x1``, ``t`` (pre-GELU) plus per-token LN stats
+    and tiny (B, hl, dim) tensors - roughly half the default's traffic;
+  * LN x-hats and GELU are recomputed inside the backward (VPU work that
+    fuses into the surrounding elementwise chains - the backward here is
+    memory-bound, not FLOP-bound);
+  * the two MXU-starved per-batch reductions are CONCATENATED into one
+    (64, n)x(n, 64) matmul per layer (4x the per-tile utilization; the two
+    off-diagonal blocks are discarded);
+  * everything n-sized stays bf16; softmax/LN arithmetic upcasts locally
+    to fp32 in registers.
+
+Forward semantics are bit-identical in structure to the module path
+(fp32 LayerNorm/softmax with the per-head-group max shift, dim**-0.5
+scaling on the model dim, PreNorm2 shared LN for query and memory -
+reference help_funcs.py:43-49,66-114,170-186); equality of values and
+gradients against jax autodiff of the plain path is pinned by
+tests/test_decoder_vjp.py.
+
+Param layout: the stacked (depth, ...) dict of
+``pallas.fused_decoder.pack_decoder_params``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def _seg_matrix(heads: int, l: int) -> np.ndarray:
+    """(hl, hl) 0/1 matrix: 1 iff lanes share a head group."""
+    return np.kron(np.eye(heads, dtype=np.float32),
+                   np.ones((l, l), np.float32))
+
+
+def _ln_stats(x32: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return mu, jax.lax.rsqrt(var + 1e-5)
+
+
+def _ln_apply(x32, mu, rsig, scale, bias):
+    return (x32 - mu) * rsig * scale + bias
+
+
+def _ln_bwd(dg32, x32, mu, rsig, scale):
+    """Backward of y = xhat*scale+bias wrt x (fp32). Returns (dx, dscale,
+    dbias) with dscale/dbias summed over all leading axes."""
+    xhat = (x32 - mu) * rsig
+    dxh = dg32 * scale
+    dscale = jnp.sum(dg32 * xhat, axis=tuple(range(dg32.ndim - 1)))
+    dbias = jnp.sum(dg32, axis=tuple(range(dg32.ndim - 1)))
+    dx = rsig * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+                 - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True))
+    return dx, dscale, dbias
+
+
+def _gelu(t32):
+    return 0.5 * t32 * (1.0 + jax.lax.erf(t32 / np.sqrt(2.0)))
+
+
+def _gelu_grad(t32):
+    cdf = 0.5 * (1.0 + jax.lax.erf(t32 / np.sqrt(2.0)))
+    pdf = jnp.exp(-0.5 * t32 * t32) / np.sqrt(2.0 * np.pi)
+    return cdf + t32 * pdf
+
+
+def _layer_fwd(x, m, p, d, heads, dtype, collect: bool):
+    """One decoder layer. Returns (x2, residuals-or-None)."""
+    b, n, dim = x.shape
+    l = m.shape[-2]
+    hl = heads * l
+    scale = dim ** -0.5
+    x32 = x.astype(jnp.float32)
+    m32 = m.astype(jnp.float32)
+    mu_x, rs_x = _ln_stats(x32)
+    mu_m, rs_m = _ln_stats(m32)
+    s1, b1_ = p["ln1_scale"][d], p["ln1_bias"][d]
+    hn = _ln_apply(x32, mu_x, rs_x, s1, b1_).astype(dtype)
+    mn = _ln_apply(m32, mu_m, rs_m, s1, b1_).astype(dtype)
+
+    inner = p["wq"].shape[-1]
+    hd = inner // heads
+    wq_r = p["wq"][d].astype(dtype).reshape(dim, heads, hd)
+    kh = (mn @ p["wk"][d].astype(dtype)).reshape(b, l, heads, hd)
+    vh = (mn @ p["wv"][d].astype(dtype)).reshape(b, l, heads, hd)
+    wo_r = p["wo"][d].astype(dtype).reshape(heads, hd, dim)
+    a = jnp.einsum("chd,bjhd->bchj", wq_r, kh).reshape(b, dim, hl)
+    z = jnp.einsum("bjhd,hdc->bhjc", vh, wo_r).reshape(b, hl, dim)
+
+    dots = jnp.einsum("bnc,bcm->bnm", hn, a).astype(jnp.float32) * scale
+    mx = jnp.max(dots.reshape(b, n, heads, l), axis=-1, keepdims=True)
+    e = jnp.exp(dots - jnp.broadcast_to(mx, (b, n, heads, l)).reshape(b, n, hl))
+    sseg = jnp.asarray(_seg_matrix(heads, l))
+    denom = jax.lax.dot_general(e, sseg, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    attn = (e / denom).astype(dtype)
+
+    x1 = x + attn @ z + p["bo"][d].astype(dtype)
+
+    x132 = x1.astype(jnp.float32)
+    mu1, rs1 = _ln_stats(x132)
+    g = _ln_apply(x132, mu1, rs1, p["ln2_scale"][d],
+                  p["ln2_bias"][d]).astype(dtype)
+    t = g @ p["w1"][d].astype(dtype) + p["b1"][d].astype(dtype)
+    hgelu = _gelu(t.astype(jnp.float32)).astype(dtype)
+    x2 = x1 + hgelu @ p["w2"][d].astype(dtype) + p["b2"][d].astype(dtype)
+    if not collect:
+        return x2, None
+    res = dict(x_in=x, attn=attn, x1=x1, t=t, kh=kh, vh=vh, a=a, z=z,
+               mu_x=mu_x, rs_x=rs_x, mu_m=mu_m, rs_m=rs_m, mu1=mu1, rs1=rs1)
+    return x2, res
+
+
+def _stack_fwd(x, m, p, depth, heads, dtype, collect):
+    reses = []
+    for d in range(depth):
+        x, res = _layer_fwd(x, m, p, d, heads, dtype, collect)
+        reses.append(res)
+    return x, reses
+
+
+def _layer_bwd(dy, dm_acc, res, m, p, d, heads, dtype):
+    """Backward of one layer. dy: (b,n,dim) cotangent of x2 (dtype);
+    dm_acc: running (b,l,dim) cotangent of m. Returns (dx, dm_acc, grads)."""
+    x, attn, x1, t = res["x_in"], res["attn"], res["x1"], res["t"]
+    b, n, dim = x.shape
+    l = m.shape[-2]
+    hl = heads * l
+    scale = dim ** -0.5
+    inner = p["wq"].shape[-1]
+    hd = inner // heads
+
+    # ---- FF backward ----
+    x132 = x1.astype(jnp.float32)
+    mu1, rs1 = res["mu1"], res["rs1"]
+    s2 = p["ln2_scale"][d]
+    g = _ln_apply(x132, mu1, rs1, s2, p["ln2_bias"][d]).astype(dtype)
+    t32 = t.astype(jnp.float32)
+    hgelu = _gelu(t32).astype(dtype)
+    dff = dy
+    dW2 = jnp.einsum("bnm,bnc->mc", hgelu, dff,
+                     preferred_element_type=jnp.float32)
+    db2 = jnp.sum(dff.astype(jnp.float32), axis=(0, 1))
+    dhg = dff @ p["w2"][d].astype(dtype).T
+    dt32 = dhg.astype(jnp.float32) * _gelu_grad(t32)
+    dt = dt32.astype(dtype)
+    dW1 = jnp.einsum("bnc,bnm->cm", g, dt,
+                     preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dt32, axis=(0, 1))
+    dg32 = (dt @ p["w1"][d].astype(dtype).T).astype(jnp.float32)
+    dx1_ln, dls2, dlb2 = _ln_bwd(dg32, x132, mu1, rs1, s2)
+    dx1 = dy + dx1_ln.astype(dtype)
+
+    # ---- attention backward ----
+    dao = dx1  # grad of attn_out (residual add)
+    dbo = jnp.sum(dao.astype(jnp.float32), axis=(0, 1))
+    a, z = res["a"], res["z"]
+    # recompute hn (LN of x) for the starved reduction + its own bwd
+    x32 = x.astype(jnp.float32)
+    mu_x, rs_x = res["mu_x"], res["rs_x"]
+    s1, b1_ = p["ln1_scale"][d], p["ln1_bias"][d]
+    hn = _ln_apply(x32, mu_x, rs_x, s1, b1_).astype(dtype)
+
+    dattn = jnp.einsum("bnc,bmc->bnm", dao, z)
+    # group softmax backward in fp32 (attn was saved in `dtype`; upcasting
+    # reproduces the fp32 softmax gradient to within dtype rounding)
+    a32 = attn.astype(jnp.float32)
+    da32 = dattn.astype(jnp.float32)
+    sseg = jnp.asarray(_seg_matrix(heads, l))
+    srow = jax.lax.dot_general(a32 * da32, sseg, (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dl = (a32 * (da32 - srow)) * scale
+    dl_d = dl.astype(dtype)
+    dhn = jnp.einsum("bnm,bcm->bnc", dl_d, a)
+
+    # The two MXU-starved (.,n)x(n,.) per-batch reductions, fused into one
+    # (2*dim, n)x(n, 2*hl... ) -> here (dim+hl side-by-side) matmul:
+    #   P[b] = [hn | attn]^T @ [dl | dao]  with
+    #   da = P[:dim, :hl],  dz = P[dim:, hl:]  (cross blocks discarded).
+    lhs = jnp.concatenate([hn, attn], axis=-1)          # (b, n, dim+hl)
+    rhs = jnp.concatenate([dl_d, dao], axis=-1)         # (b, n, hl+dim)
+    P = jnp.einsum("bni,bnj->bij", lhs, rhs,
+                   preferred_element_type=jnp.float32)
+    da = P[:, :dim, :hl].astype(dtype)                  # (b, dim, hl)
+    dz = P[:, dim:, hl:].astype(dtype)                  # (b, hl, dim)
+
+    # tiny memory-side chains
+    kh, vh = res["kh"], res["vh"]
+    wq_r = p["wq"][d].astype(dtype).reshape(dim, heads, hd)
+    wo_r = p["wo"][d].astype(dtype).reshape(heads, hd, dim)
+    da_r = da.reshape(b, dim, heads, l)
+    dz_r = dz.reshape(b, heads, l, dim)
+    dkh = jnp.einsum("bchj,chd->bjhd", da_r, wq_r)
+    dwq = jnp.einsum("bchj,bjhd->chd", da_r, kh).reshape(dim, inner)
+    dvh = jnp.einsum("bhjc,hdc->bjhd", dz_r, wo_r)
+    dwo = jnp.einsum("bhjc,bjhd->hdc", dz_r, vh).reshape(inner, dim)
+    dmn = (dkh.reshape(b, l, inner) @ p["wk"][d].astype(dtype).T
+           + dvh.reshape(b, l, inner) @ p["wv"][d].astype(dtype).T)
+    mn = _ln_apply(m.astype(jnp.float32), res["mu_m"], res["rs_m"],
+                   s1, b1_).astype(dtype)  # recompute (tiny: (b, l, dim))
+    dwk = jnp.einsum("blc,blm->cm", mn, dkh.reshape(b, l, inner),
+                     preferred_element_type=jnp.float32)
+    dwv = jnp.einsum("blc,blm->cm", mn, dvh.reshape(b, l, inner),
+                     preferred_element_type=jnp.float32)
+
+    # LN1 backward: shared params between query and memory branches
+    dhn32 = dhn.astype(jnp.float32)
+    dx_ln, dls1x, dlb1x = _ln_bwd(dhn32, x32, mu_x, rs_x, s1)
+    m32 = m.astype(jnp.float32)
+    dmn32 = dmn.astype(jnp.float32)
+    dm_ln, dls1m, dlb1m = _ln_bwd(dmn32, m32, res["mu_m"], res["rs_m"], s1)
+
+    dx = dx1 + dx_ln.astype(dtype)
+    dm_acc = dm_acc + dm_ln.astype(dm_acc.dtype)
+
+    grads = {
+        "ln1_scale": dls1x + dls1m, "ln1_bias": dlb1x + dlb1m,
+        "wq": dwq.astype(jnp.float32), "wk": dwk, "wv": dwv,
+        "wo": dwo.astype(jnp.float32), "bo": dbo,
+        "ln2_scale": dls2, "ln2_bias": dlb2,
+        "w1": dW1, "b1": db1, "w2": dW2, "b2": db2,
+    }
+    return dx, dm_acc, grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def decoder_stack(x: jax.Array, m: jax.Array, packed: Dict[str, jax.Array],
+                  depth: int, heads: int, dtype) -> jax.Array:
+    out, _ = _stack_fwd(x, m, packed, depth, heads, dtype, collect=False)
+    return out
+
+
+def _vjp_fwd(x, m, packed, depth, heads, dtype):
+    out, reses = _stack_fwd(x, m, packed, depth, heads, dtype, collect=True)
+    return out, (m, packed, reses)
+
+
+def _vjp_bwd(depth, heads, dtype, saved, dy):
+    m, packed, reses = saved
+    dy = dy.astype(dtype)
+    dm = jnp.zeros(m.shape, dtype)
+    layer_grads = []
+    for d in range(depth - 1, -1, -1):
+        dy, dm, grads = _layer_bwd(dy, dm, reses[d], m, packed, d, heads,
+                                   dtype)
+        layer_grads.append(grads)
+    layer_grads.reverse()
+    dpacked = {k: jnp.stack([g[k] for g in layer_grads]).astype(
+        packed[k].dtype) for k in layer_grads[0]}
+    return dy, dm.astype(m.dtype), dpacked
+
+
+decoder_stack.defvjp(_vjp_fwd, _vjp_bwd)

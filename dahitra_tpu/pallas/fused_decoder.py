@@ -156,9 +156,15 @@ def _decoder_kernel(x_ref, m_ref,
         zm = jnp.concatenate(z_rows, axis=0)              # (hl, dim)
 
         dots = _mm(xn, af) * scale                        # (n, hl) fp32
-        # Full-row max is constant within each head's L-lane group, so
-        # subtracting it keeps every group softmax exact.
-        e = jnp.exp(dots - jnp.max(dots, axis=-1, keepdims=True))
+        # Max shift PER head group (static lane slices — Mosaic-friendly):
+        # a full-row max keeps each group's softmax mathematically exact,
+        # but a head whose logits sit >~88 below another head's max would
+        # underflow its whole exp() row and divide 0/0.
+        mx = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.max(dots[:, h * l:(h + 1) * l], axis=-1, keepdims=True),
+                (dots.shape[0], l)) for h in range(heads)], axis=1)
+        e = jnp.exp(dots - mx)
         denom = jnp.dot(e, sseg, preferred_element_type=jnp.float32)
         attn = e / denom
         x = x + _mm(attn, zm) + bo_ref[d].astype(jnp.float32)

@@ -237,3 +237,47 @@ def test_max_pool_3x3_s2_value_and_grad():
                                  (1, 2, 2, 1), "VALID")
     np.testing.assert_array_equal(np.asarray(max_pool_2x2(x2)),
                                   np.asarray(want))
+
+
+def test_max_pool_2x2_odd_dims_floor_like_torch():
+    """torch F.max_pool2d(2,2) floors odd H/W (partial windows dropped)."""
+    from dahitra_tpu.nn.blocks import max_pool_2x2
+
+    rng = np.random.default_rng(3)
+    x = jnp.array(rng.normal(size=(2, 9, 7, 3)).astype(np.float32))
+    got = max_pool_2x2(x)
+    assert got.shape == (2, 4, 3, 3)
+    want = jax.lax.reduce_window(x[:, :8, :6, :], -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_cross_attention_divergent_head_logits_finite():
+    """The reassociated path's per-head max shift: one head's logits sitting
+    ~200 below another head's must not underflow its softmax to 0/0=NaN."""
+    dim, heads, dim_head, n_kv, n = 32, 2, 16, 4, 64
+    mod = CrossAttention(dim=dim, heads=heads, dim_head=dim_head)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, n, dim))
+    m = jax.random.normal(jax.random.PRNGKey(1), (1, n_kv, dim))
+    params = mod.init(key, x, m)
+    # Scale head 0's query projection so its logits dwarf head 1's.
+    wq = np.asarray(params["params"]["to_q"]["kernel"]).copy()
+    wq[:, : heads * dim_head // 2] *= 3000.0
+    params = {"params": {**params["params"],
+                         "to_q": {"kernel": jnp.asarray(wq)}}}
+    out = mod.apply(params, x, m)
+    assert np.isfinite(np.asarray(out)).all()
+    # And it must agree with the standard per-head softmax formulation.
+    q = (x @ wq).reshape(1, n, heads, dim_head).transpose(0, 2, 1, 3)
+    k = np.asarray(m @ params["params"]["to_k"]["kernel"]).reshape(
+        1, n_kv, heads, dim_head).transpose(0, 2, 1, 3)
+    v = np.asarray(m @ params["params"]["to_v"]["kernel"]).reshape(
+        1, n_kv, heads, dim_head).transpose(0, 2, 1, 3)
+    dots = np.einsum("bhid,bhjd->bhij", np.asarray(q), k) * dim ** -0.5
+    attn = jax.nn.softmax(jnp.asarray(dots), axis=-1)
+    ctx = np.einsum("bhij,bhjd->bhid", np.asarray(attn), v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(1, n, heads * dim_head)
+    want = (ctx @ np.asarray(params["params"]["to_out"]["kernel"])
+            + np.asarray(params["params"]["to_out"]["bias"]))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)

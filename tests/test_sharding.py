@@ -143,3 +143,18 @@ def test_mesh_from_gpu_ids():
         mesh_from_gpu_ids("junk")  # malformed ids fail loudly
     m = mesh_from_gpu_ids("0,1,2,3", n_space=2)
     assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 2, "space": 2}
+    # Duplicate ordinals are de-duplicated (not an opaque mesh error), and
+    # dropped/out-of-range selections warn on stdout.
+    assert mesh_from_gpu_ids("0,0").devices.size == 1
+    assert mesh_from_gpu_ids("1,1,0").devices.size == 2
+
+
+def test_mesh_from_gpu_ids_warns_on_drops(capsys):
+    from dahitra_tpu.core.mesh import mesh_from_gpu_ids
+
+    mesh_from_gpu_ids("0,0")
+    assert "duplicate" in capsys.readouterr().out
+    mesh_from_gpu_ids("99")
+    assert "out of range" in capsys.readouterr().out
+    mesh_from_gpu_ids("0,1,2", n_space=2)
+    assert "not divisible" in capsys.readouterr().out
