@@ -23,7 +23,31 @@ IMG = 1024
 STEPS = 8
 
 
-def bench_train(batch: int) -> float:
+def _fwd_flops(batch: int) -> float:
+    """Single-forward FLOPs of the damage model at (batch, IMG, IMG, 6)."""
+    from dahitra_tpu.models import define_g
+
+    model = define_g("xbd_dahitra", dtype=jnp.bfloat16, img_size=IMG)
+    dummy = jnp.zeros((batch, IMG, IMG, 6), jnp.bfloat16)
+    variables = jax.eval_shape(
+        lambda k: model.init(k, dummy, None, False), jax.random.PRNGKey(0))
+    try:
+        an = (jax.jit(lambda v, x: model.apply(v, x, None, False))
+              .lower(variables, dummy).compile().cost_analysis())
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_train(batch: int, scan: bool = False):
+    """tiles/s of the full damage train step (aug+fwd+bwd+AdamW).
+
+    ``scan=True`` measures the chunked one-dispatch lax.scan path
+    (XBDTrainer._train_chunk_scan); False measures per-batch dispatches —
+    the difference is the tunneled chip's ~30-50 ms RPC per dispatch, which
+    dominates at the reference recipe's batch 1 (xBD_code/train.py:67)."""
     from dahitra_tpu.core.mesh import make_mesh
     from dahitra_tpu.train.xbd_engine import XBDTrainer
 
@@ -39,22 +63,33 @@ def bench_train(batch: int) -> float:
         args = argparse.Namespace(
             net_G="xbd_dahitra", img_size=IMG, batch_size=batch,
             val_batch_size=batch, lr=0.0, max_epochs=1, checkpoint_dir=td,
-            bf16=True, seed=0, warm_start_from=None)
+            bf16=True, seed=0, warm_start_from=None,
+            scan_epoch=scan, scan_chunk_batches=STEPS)
         mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
         tr = XBDTrainer(args, arrays, arrays, mesh=mesh, task="damage")
-
-        batches = [tr._put(b) for b in tr.train_loader]
         key = jax.random.PRNGKey(0)
-        st = tr.state
 
-        def run(st):
-            for i, d in enumerate(batches):
-                st, loss = tr._train_step(
-                    st, d["img_pre"], d["img_post"], d["msk"], d["lbl_msk"],
-                    jax.random.fold_in(key, i))
-            return st, loss
+        if scan:
+            chunk = next(iter(tr._scan_chunks(0)))
+            staged = tuple(jnp.asarray(c) for c in chunk)
+            keys = jax.random.split(key, staged[0].shape[0])
+            n_steps = staged[0].shape[0]
 
-        st, loss = run(st)
+            def run(st):
+                st, losses = tr._train_chunk_scan(st, *staged, keys)
+                return st, losses
+        else:
+            batches = [tr._put(b) for b in tr.train_loader]
+            n_steps = len(batches)
+
+            def run(st):
+                for i, d in enumerate(batches):
+                    st, loss = tr._train_step(
+                        st, d["img_pre"], d["img_post"], d["msk"],
+                        d["lbl_msk"], jax.random.fold_in(key, i))
+                return st, loss
+
+        st, loss = run(tr.state)
         np.asarray(loss)
         ts = []
         for _ in range(3):
@@ -62,7 +97,7 @@ def bench_train(batch: int) -> float:
             st, loss = run(st)
             np.asarray(loss)
             ts.append(time.time() - t0)
-    return len(batches) * batch / min(ts)
+    return n_steps * batch / min(ts), min(ts), n_steps
 
 
 def bench_predict() -> float:
@@ -95,10 +130,26 @@ def bench_predict() -> float:
     return 1.0 / min(ts)
 
 
+CHIP_BF16_TFLOPS = 135.0  # measured matmul ceiling on this v5e chip
+
+
 def main():
+    b1_loop, _, _ = bench_train(1, scan=False)
+    b1_scan, dt1, n1 = bench_train(1, scan=True)
+    b4_scan, dt4, n4 = bench_train(4, scan=True)
+    fl1 = _fwd_flops(1)
+    fl4 = _fwd_flops(4)
+    # fwd + bwd ~ 3x fwd, the standard accounting (matches bench.py).
+    t1 = 3.0 * fl1 * n1 / dt1 / 1e12 if fl1 else 0.0
+    t4 = 3.0 * fl4 * n4 / dt4 / 1e12 if fl4 else 0.0
     out = {
-        "xbd_dahitra_train_1024_b1_tiles_per_s": round(bench_train(1), 3),
-        "xbd_dahitra_train_1024_b4_tiles_per_s": round(bench_train(4), 3),
+        "xbd_dahitra_train_1024_b1_tiles_per_s": round(b1_loop, 3),
+        "xbd_dahitra_train_1024_b1_scan_tiles_per_s": round(b1_scan, 3),
+        "xbd_dahitra_train_1024_b4_scan_tiles_per_s": round(b4_scan, 3),
+        "xbd_dahitra_train_1024_b1_scan_mfu_pct":
+            round(100 * t1 / CHIP_BF16_TFLOPS, 2),
+        "xbd_dahitra_train_1024_b4_scan_mfu_pct":
+            round(100 * t4 / CHIP_BF16_TFLOPS, 2),
         "xbd_dahitra_tta_predict_1024_tiles_per_s": round(bench_predict(), 3),
     }
     print(json.dumps(out))

@@ -48,19 +48,29 @@ def main(argv=None):
                              cfg.label_transform, patch=None)
     chunks = [probe.arrays() if hasattr(probe, "arrays") else
               {"a": probe.a, "b": probe.b, "label": probe.label}]
-    if probe.a.shape[1] > args.img_size:
+    patched = probe.a.shape[1] > args.img_size
+    if patched:
         chunks = []
         for patch in range(args.num_patches):
             p = load_levir_split(cfg.root_dir, split, args.img_size,
                                  cfg.label_transform, patch=patch)
             chunks.append({"a": p.a, "b": p.b, "label": p.label})
     arrays = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+    # Dataset position -> source patch, for the reference-style per-patch
+    # score blocks (eval_cd.py:49-55 logs one block per patch).
+    group_of = np.concatenate([np.full(len(c["a"]), i, np.int32)
+                               for i, c in enumerate(chunks)]) \
+        if patched else None
 
     from dahitra_tpu.core.mesh import mesh_from_gpu_ids
 
     evaluator = CDEvaluator(args, arrays,
                             mesh=mesh_from_gpu_ids(args.gpu_ids))
-    scores = evaluator.eval_models(save_vis=args.save_vis)
+    scores = evaluator.eval_models(save_vis=args.save_vis, group_of=group_of)
+    for g in scores.get("per_group", []):
+        print({k: (round(v, 5) if isinstance(v, float) else v)
+               for k, v in g.items()
+               if k in ("patch", "acc", "miou", "mf1", "F1_1", "iou_1")})
     print({k: round(v, 5) for k, v in scores.items()
            if k in ("acc", "miou", "mf1", "F1_1", "iou_1", "imps")})
 

@@ -62,6 +62,16 @@ def build_parser() -> ArgumentParser:
                              "the data mesh axis) and run each epoch as ONE "
                              "lax.scan dispatch; removes per-step dispatch "
                              "latency")
+    parser.add_argument("--log_every", default=100, type=int,
+                        help="per-batch path: progress line every N batches "
+                             "(reference trainer.py:136-189; 0 = off)")
+    parser.add_argument("--log_chunks", default=1, type=int,
+                        help="scan path: split the epoch scan into N "
+                             "dispatches with a progress line between each")
+    parser.add_argument("--vis_train_every", default=0, type=int,
+                        help="per-batch path: dump a training vis grid every "
+                             "N batches (reference trainer.py:196-204 used "
+                             "500; 0 = off)")
     parser.add_argument("--multi_scale_loss", action="store_true",
                         help="deep supervision over multi-scale heads "
                              "(ChangeFormer recipe, trainer.py:271-285)")

@@ -43,6 +43,11 @@ def main(argv=None):
     parser.add_argument("--warm_start_from", default=None,
                         help="checkpoint dir to size-filter weights from")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--scan_epoch", action="store_true",
+                        help="one-dispatch chunked lax.scan training epochs")
+    parser.add_argument("--scan_chunk_batches", default=0, type=int,
+                        help="batches staged per scan dispatch "
+                             "(0 = ~256 samples per chunk)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--eval_every", default=2, type=int)
     parser.add_argument("--gpu_ids", default="0", type=str,

@@ -43,15 +43,21 @@ class BatchLoader:
         for start in range(0, stop, bs):
             idx = order[start:start + bs]
             batch = {k: v[idx] for k, v in self.arrays.items()}
-            if self.pad_to_multiple and len(idx) % self.pad_to_multiple:
-                # Pad by repeating the first sample; mark padding with an
-                # all-ignore label so metrics drop it.
+            if self.pad_to_multiple:
+                # Pad ragged batches by repeating the first sample. Padding
+                # is marked two ways so no metric path can count it: the
+                # CD 'label' key becomes the 255 ignore value, and a per-
+                # sample 'valid' vector (1 real, 0 pad) rides along for
+                # consumers without an ignore label (the xBD dice/F1 path).
                 pad = (-len(idx)) % self.pad_to_multiple
-                for k, v in batch.items():
-                    filler = np.repeat(v[:1], pad, axis=0)
-                    if k == "label":
-                        filler = np.full_like(filler, 255)
-                    batch[k] = np.concatenate([v, filler], axis=0)
+                if pad:
+                    for k, v in batch.items():
+                        filler = np.repeat(v[:1], pad, axis=0)
+                        if k == "label":
+                            filler = np.full_like(filler, 255)
+                        batch[k] = np.concatenate([v, filler], axis=0)
+                batch["valid"] = np.concatenate(
+                    [np.ones(len(idx), np.bool_), np.zeros(pad, np.bool_)])
             yield batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

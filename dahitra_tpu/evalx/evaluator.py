@@ -27,7 +27,8 @@ from dahitra_tpu.core.checkpoint import load_checkpoint_raw
 from dahitra_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
 from dahitra_tpu.data.augment import augment_pairs
 from dahitra_tpu.data.loader import BatchLoader
-from dahitra_tpu.metrics.confusion import batch_confusion_matrix, cm2score
+from dahitra_tpu.metrics.confusion import (batch_confusion_matrix, cm2score,
+                                           per_sample_confusion_matrix)
 from dahitra_tpu.models.registry import define_g
 from dahitra_tpu.utils import Logger, Timer
 
@@ -62,6 +63,7 @@ class CDEvaluator:
         self.params = jax.device_put(self.params, rep)
         self.batch_stats = jax.device_put(self.batch_stats, rep)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_step_ps = jax.jit(self._eval_step_ps_impl)
 
     def _eval_step_impl(self, params, batch_stats, a_u8, b_u8, l_u8):
         a, b, label = augment_pairs(a_u8, b_u8, l_u8, jax.random.PRNGKey(0),
@@ -73,24 +75,42 @@ class CDEvaluator:
         pred = jnp.argmax(logits, -1)
         return batch_confusion_matrix(pred, label, self.n_class), pred
 
-    def eval_epoch_scan(self, staged_stack) -> jax.Array:
+    def _eval_step_ps_impl(self, params, batch_stats, a_u8, b_u8, l_u8):
+        """Like ``_eval_step_impl`` but returns (B, C, C) per-sample
+        confusion matrices (for per-patch regrouping)."""
+        a, b, label = augment_pairs(a_u8, b_u8, l_u8, jax.random.PRNGKey(0),
+                                    train=False, dtype=self.dtype)
+        logits = self.model.apply({"params": params, "batch_stats": batch_stats},
+                                  a, b, False)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[-1]
+        pred = jnp.argmax(logits, -1)
+        return per_sample_confusion_matrix(pred, label, self.n_class), pred
+
+    def eval_epoch_scan(self, staged_stack, per_sample: bool = False) -> jax.Array:
         """One-dispatch epoch evaluation: ``lax.scan`` over the staged
         dataset, accumulating the confusion matrix on device. Removes the
         per-batch dispatch latency entirely (on a tunneled chip each call
-        costs ~50 ms RPC; the whole epoch becomes one XLA program)."""
+        costs ~50 ms RPC; the whole epoch becomes one XLA program).
+        ``per_sample=True`` returns stacked (n_batches, B, C, C) per-sample
+        matrices instead of the summed total (still one dispatch)."""
         a_all, b_all, l_all = staged_stack  # (n_batches, B, H, W, ...)
 
         @jax.jit
         def run(params, batch_stats, a_all, b_all, l_all):
             def body(cm, xs):
                 a_u8, b_u8, l_u8 = xs
+                if per_sample:
+                    ps, _ = self._eval_step_ps_impl(params, batch_stats,
+                                                    a_u8, b_u8, l_u8)
+                    return cm, ps
                 batch_cm, _ = self._eval_step_impl(params, batch_stats,
                                                    a_u8, b_u8, l_u8)
                 return cm + batch_cm, None
 
             init = jnp.zeros((self.n_class, self.n_class), jnp.int32)
-            cm, _ = jax.lax.scan(body, init, (a_all, b_all, l_all))
-            return cm
+            cm, ps = jax.lax.scan(body, init, (a_all, b_all, l_all))
+            return ps if per_sample else cm
 
         return run(self.params, self.batch_stats, a_all, b_all, l_all)
 
@@ -111,15 +131,26 @@ class CDEvaluator:
 
     def eval_models(self, save_vis: bool = False,
                     device_cache: bool = False,
-                    scan: bool = False) -> dict:
+                    scan: bool = False,
+                    group_of: np.ndarray = None,
+                    group_label: str = "patch") -> dict:
         """``scan=True`` stages the dataset in HBM and evaluates the whole
         epoch as ONE dispatch (requires equal batch sizes; fastest path —
         see bench.py). ``device_cache=True`` stages but keeps per-batch
-        dispatches (allows vis/ragged tails)."""
+        dispatches (allows vis/ragged tails).
+
+        ``group_of`` (len n_samples, int group id per dataset position)
+        switches metric collection to per-sample confusion matrices so the
+        single folded pass can still report a reference-style score block
+        per group (the 16-patch sweep of eval_cd.py:49-55 +
+        models/evaluator.py:134-151) alongside the aggregate; the result
+        gains a ``per_group`` list keyed by group id."""
         self.logger.write("Begin evaluation...\n")
         timer = Timer()
         cms, n_img = [], 0
+        ps_cms = []  # per-sample (B, C, C) blocks, dataset order
         sh = batch_sharding(self.mesh, spatial=False)
+        grouped = group_of is not None
         if scan:
             staged = self.stage_on_device()
             # Select full batches by the loader's batch size (not staged[0],
@@ -131,16 +162,38 @@ class CDEvaluator:
                 import jax.numpy as _jnp
 
                 stack = tuple(_jnp.stack([t[i] for t in full]) for i in range(3))
-                cms.append(self.eval_epoch_scan(stack))
+                out = self.eval_epoch_scan(stack, per_sample=grouped)
+                if grouped:
+                    ps = np.asarray(out).reshape(-1, self.n_class, self.n_class)
+                    ps_cms.append(ps)
+                    cms.append(ps.sum(axis=0))
+                else:
+                    cms.append(out)
                 n_img += sum(t[0].shape[0] for t in full)
             for a, b, l in tail:  # ragged last batch, if any
-                cm, _ = self._eval_step(self.params, self.batch_stats, a, b, l)
-                cms.append(cm)
+                if grouped:
+                    ps, _ = self._eval_step_ps(self.params, self.batch_stats,
+                                               a, b, l)
+                    ps = np.asarray(ps)
+                    ps_cms.append(ps)
+                    cms.append(ps.sum(axis=0))
+                else:
+                    cm, _ = self._eval_step(self.params, self.batch_stats,
+                                            a, b, l)
+                    cms.append(cm)
                 n_img += a.shape[0]
-        elif device_cache:
+        elif device_cache or grouped:
             for a, b, l in self.stage_on_device():
-                cm, _ = self._eval_step(self.params, self.batch_stats, a, b, l)
-                cms.append(cm)
+                if grouped:
+                    ps, _ = self._eval_step_ps(self.params, self.batch_stats,
+                                               a, b, l)
+                    ps = np.asarray(ps)
+                    ps_cms.append(ps)
+                    cms.append(ps.sum(axis=0))
+                else:
+                    cm, _ = self._eval_step(self.params, self.batch_stats,
+                                            a, b, l)
+                    cms.append(cm)
                 n_img += a.shape[0]
         else:
             for batch in self.loader:
@@ -155,8 +208,21 @@ class CDEvaluator:
         total = np.asarray(sum(cms))
         scores = cm2score(total)
         imps = timer.images_per_sec(n_img)
+        if grouped and ps_cms:
+            all_ps = np.concatenate(ps_cms, axis=0)
+            group_of = np.asarray(group_of)[: len(all_ps)]
+            per_group = []
+            for gid in np.unique(group_of):
+                g_scores = cm2score(all_ps[group_of == gid].sum(axis=0))
+                per_group.append({group_label: int(gid), **g_scores})
+                self.logger.write(
+                    f"{group_label} {int(gid)}: "
+                    + " ".join(f"{k}: {v:.5f}" for k, v in g_scores.items())
+                    + "\n")
+            scores["per_group"] = per_group
         self.logger.write(
-            " ".join(f"{k}: {v:.5f}" for k, v in scores.items())
+            " ".join(f"{k}: {v:.5f}" for k, v in scores.items()
+                     if not isinstance(v, list))
             + f" imps: {imps:.2f}\n\n")
         # Reference artifacts: marker file + scores dict.
         with open(os.path.join(self.checkpoint_dir, f"{scores['mf1']}.txt"), "a"):

@@ -61,6 +61,29 @@ def batch_confusion_matrix(pred: jax.Array, gt: jax.Array, num_classes: int) -> 
     return jnp.sum(jax.vmap(one)(gt, pred), axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def per_sample_confusion_matrix(pred: jax.Array, gt: jax.Array,
+                                num_classes: int) -> jax.Array:
+    """(B, n_class, n_class) confusion matrix per sample — same one-hot MXU
+    contraction as ``batch_confusion_matrix``, vmapped over the batch axis.
+    Lets callers regroup samples after an evaluation pass (e.g. the 16-patch
+    per-patch score blocks of eval_cd.py:49-55) without re-running the
+    model. Per-sample pixel counts (<= a few MPix) stay within fp32's exact
+    integer range, so no chunking is needed."""
+    b = pred.shape[0]
+    gt = gt.reshape(b, -1).astype(jnp.int32)
+    pred = pred.reshape(b, -1).astype(jnp.int32)
+
+    def one(g, p):
+        valid = ((g >= 0) & (g < num_classes)).astype(jnp.bfloat16)
+        oh_gt = jax.nn.one_hot(g, num_classes, dtype=jnp.bfloat16) * valid[:, None]
+        oh_pr = jax.nn.one_hot(p, num_classes, dtype=jnp.bfloat16)
+        return jnp.einsum("nc,nk->ck", oh_gt, oh_pr,
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    return jax.vmap(one)(gt, pred)
+
+
 def cm2f1(cm: np.ndarray) -> float:
     """Mean F1 from a confusion matrix (misc/metric_tool.py:72-93)."""
     hist = np.asarray(cm, np.float64)

@@ -267,10 +267,31 @@ class CDTrainer:
         timer = Timer()
         scan_ok = (getattr(self.args, "scan_epoch", False)
                    and self.batch_size % self.n_devices == 0)
+        # In-epoch observability (reference models/trainer.py:136-189 logs
+        # imps/est-hours/running-mF1 every 100 batches): per-batch path logs
+        # every ``log_every`` batches; the scan path splits the epoch into
+        # ``log_chunks`` scan dispatches and logs per chunk — the extra
+        # dispatches cost ~chunks * RPC (~0.5 s/epoch at 10), <2% of a real
+        # epoch, and double as natural preemption points.
+        log_every = int(getattr(self.args, "log_every", 100) or 0)
+        log_chunks = int(getattr(self.args, "log_chunks", 1) or 1)
+
+        def progress_line(done_img, done_batches, total_batches, mf1_run,
+                          loss_run):
+            el = timer.elapsed()
+            per_b = el / max(done_batches, 1)
+            rem = (total_batches - done_batches) \
+                + total_batches * max(self.max_epochs - 1 - epoch, 0)
+            self.logger.write(
+                f"Is_training: True. [{epoch},{done_batches}][{total_batches}], "
+                f"imps: {done_img / max(el, 1e-9):.2f}, "
+                f"est: {per_b * rem / 3600.0:.4f}h, "
+                f"G_loss: {loss_run:.5f}, running_mf1: {mf1_run:.5f}\n")
+
         if scan_ok:
             # One-dispatch epoch: dataset staged in HBM once (sharded over
             # 'data' on multi-device meshes), shuffled batches gathered on
-            # device, whole epoch as one lax.scan.
+            # device, whole epoch as one lax.scan (or ``log_chunks`` scans).
             if self._staged_train is None:
                 self._stage_train()
             bs = self.batch_size
@@ -284,13 +305,26 @@ class CDTrainer:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 perm_dev = jax.device_put(
                     perm_dev, NamedSharding(self.mesh, P(None, "data")))
-            self.state, loss_arr, total = self._train_epoch_scan(
-                self.state, a_f, b_f, l_f, perm_dev, keys)
-            cms.append(total)
-            losses.append(jnp.mean(loss_arr))
-            n_img = n_batches * bs  # ragged tail dropped (drop_last behavior)
+            chunk = max(1, -(-n_batches // max(log_chunks, 1)))
+            done = 0
+            for start in range(0, n_batches, chunk):
+                end = min(start + chunk, n_batches)
+                self.state, loss_arr, total = self._train_epoch_scan(
+                    self.state, a_f, b_f, l_f, perm_dev[start:end],
+                    keys[start:end])
+                cms.append(total)
+                losses.append(jnp.mean(loss_arr))
+                done = end
+                n_img = done * bs
+                if end < n_batches:  # interleaved progress (end line follows)
+                    cm_run = np.asarray(sum(cms))
+                    progress_line(n_img, done, n_batches,
+                                  cm2score(cm_run)["mf1"],
+                                  float(np.mean([float(l) for l in losses])))
         else:
-            for batch in self.train_loader:
+            n_batches = len(self.train_loader)
+            vis_every = int(getattr(self.args, "vis_train_every", 0) or 0)
+            for bi, batch in enumerate(self.train_loader):
                 d = self._put(batch)
                 self.key, sub = jax.random.split(self.key)
                 self.state, loss, cm = self._train_step(
@@ -298,6 +332,13 @@ class CDTrainer:
                 cms.append(cm)
                 losses.append(loss)
                 n_img += len(batch["a"])
+                if log_every and (bi + 1) % log_every == 0:
+                    cm_run = np.asarray(sum(cms))
+                    progress_line(n_img, bi + 1, n_batches,
+                                  cm2score(cm_run)["mf1"],
+                                  float(np.mean([float(l) for l in losses])))
+                if vis_every and (bi + 1) % vis_every == 0:
+                    self._save_train_vis(batch, epoch, bi + 1)
         if profile_dir and epoch == 0:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
@@ -313,6 +354,21 @@ class CDTrainer:
         np.save(os.path.join(self.checkpoint_dir, "train_acc.npy"),
                 np.asarray(self.train_acc_curve, np.float32))
         return scores
+
+    def _save_train_vis(self, batch, epoch: int, batch_id: int):
+        """Opt-in training vis grid (reference models/trainer.py:196-204
+        dumped one every 500 batches): A | B | GT rows as one JPEG."""
+        from PIL import Image
+
+        vis_dir = getattr(self.args, "vis_dir", None) or os.path.join(
+            self.checkpoint_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        a = np.concatenate(list(batch["a"]), axis=1)
+        b = np.concatenate(list(batch["b"]), axis=1)
+        g = np.concatenate(list(batch["label"].astype(np.uint8) * 255), axis=1)
+        grid = np.concatenate([a, b, np.stack([g] * 3, -1)], axis=0)
+        Image.fromarray(grid).save(
+            os.path.join(vis_dir, f"train_e{epoch}_b{batch_id}.jpg"))
 
     def validate(self, epoch: int) -> dict:
         cms = []

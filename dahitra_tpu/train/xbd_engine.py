@@ -108,12 +108,21 @@ class XBDTrainer:
             train_arrays, args.batch_size, shuffle=True,
             seed=getattr(args, "seed", 0), drop_last=True,
             pad_to_multiple=self.n_devices if self.n_devices > 1 else None)
+        # Val batches are padded to the mesh 'data' axis too (``_put`` shards
+        # every batch): without it a ragged or batch-1 val batch on a
+        # multi-device mesh fails to shard. Padding carries a per-sample
+        # 'valid' mask so the dice / tp-fp-fn counters never see filler.
         self.val_loader = BatchLoader(val_arrays, args.val_batch_size
                                       if hasattr(args, "val_batch_size")
-                                      else args.batch_size, shuffle=False)
+                                      else args.batch_size, shuffle=False,
+                                      pad_to_multiple=self.n_devices
+                                      if self.n_devices > 1 else None)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_chunk_scan = jax.jit(self._train_chunk_scan_impl,
+                                         donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._train_arrays = train_arrays
         self.best_score = 0.0
         self.epoch_to_start = 0
         self._maybe_resume()
@@ -215,7 +224,10 @@ class XBDTrainer:
         return state.replace(step=state.step + 1, params=new_params,
                              batch_stats=new_bs, opt_state=new_opt), loss
 
-    def _eval_step_impl(self, params, batch_stats, pre, post, msk, lbl):
+    def _eval_step_impl(self, params, batch_stats, pre, post, msk, lbl,
+                        sample_valid=None):
+        """``sample_valid`` (B,) bool marks real samples; loader pad filler
+        (multi-device ragged batches) contributes nothing to any counter."""
         img6, masks, lbl_i = augment_xbd(pre, post, msk, lbl,
                                          jax.random.PRNGKey(0), train=False,
                                          dtype=self.dtype)
@@ -232,6 +244,8 @@ class XBDTrainer:
             probs = jnp.concatenate([loc_p, jax.nn.sigmoid(cls)], axis=-1)
         else:
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if sample_valid is None:
+            sample_valid = jnp.ones(masks.shape[0], jnp.bool_)
         loc_gt = masks[..., 0] > 0
         loc_pred = probs[..., 0] > self.thr
         dices = _dice_per_image(loc_pred, loc_gt)
@@ -241,13 +255,14 @@ class XBDTrainer:
         n_dmg = masks.shape[-1] - 1  # 4 damage classes, or 3 in adapt mode
         dmg_pred = jnp.argmax(probs[..., 1:], axis=-1)
         dmg_pred = dmg_pred * loc_pred.astype(dmg_pred.dtype)
-        valid = loc_gt  # intended xView2 masking (see module docstring)
+        # intended xView2 masking (see module docstring), minus pad filler
+        gt_px = loc_gt & sample_valid[:, None, None]
         tp = jnp.zeros((4,), jnp.int32)
         fp = jnp.zeros((4,), jnp.int32)
         fn = jnp.zeros((4,), jnp.int32)
         for c in range(n_dmg):
-            p_c = (dmg_pred == c) & valid
-            t_c = (lbl_i == c) & valid
+            p_c = (dmg_pred == c) & gt_px
+            t_c = (lbl_i == c) & gt_px
             tp = tp.at[c].add(jnp.sum(p_c & t_c))
             fn = fn.at[c].add(jnp.sum(~p_c & t_c))
             fp = fp.at[c].add(jnp.sum(p_c & ~t_c))
@@ -259,6 +274,44 @@ class XBDTrainer:
         sh = batch_sharding(self.mesh, spatial=False)
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
+    def _train_chunk_scan_impl(self, state: TrainState, pre, post, msk, lbl,
+                               keys):
+        """One-dispatch training over a staged chunk of (n_batches, B, ...)
+        batches — the xBD port of CDTrainer's scan epoch. xBD datasets at
+        1024px don't fit HBM whole (unlike LEVIR), so the epoch is staged
+        and scanned in chunks (see train_one_epoch); at the reference
+        recipe's batch 1 (xBD_code/train.py:67) this is the regime where
+        the per-dispatch tunnel RPC dominates a per-batch loop."""
+
+        def body(st, xs):
+            p, q, m, l, k = xs
+            st, loss = self._train_step_impl(st, p, q, m, l, k)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, (pre, post, msk, lbl, keys))
+        return state, losses
+
+    def _scan_chunks(self, epoch: int):
+        """Yield host-side chunks of stacked shuffled batches for the scan
+        path. Chunk size bounds device memory: chunk_batches * batch_size
+        samples are resident at once (~chunk MB, not dataset MB)."""
+        bs = self.args.batch_size
+        n = len(next(iter(self._train_arrays.values())))
+        n_batches = n // bs  # drop_last, like the loader
+        rng = np.random.default_rng(
+            getattr(self.args, "seed", 0) * 100003 + epoch)
+        order = rng.permutation(n)[: n_batches * bs]
+        chunk_b = max(1, int(getattr(self.args, "scan_chunk_batches", 0))
+                      or min(n_batches, max(1, (256 + bs - 1) // bs)))
+        keys = ("img_pre", "img_post", "msk", "lbl_msk")
+        for start in range(0, n_batches, chunk_b):
+            idx = order[start * bs:(start + chunk_b) * bs]
+            k = len(idx) // bs
+            yield tuple(
+                self._train_arrays[key][idx].reshape(
+                    (k, bs) + self._train_arrays[key].shape[1:])
+                for key in keys)
+
     def train_one_epoch(self, epoch: int):
         lr = epoch_lr(self.base_lr, epoch, "multistep", self.max_epochs,
                       milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6,
@@ -266,13 +319,26 @@ class XBDTrainer:
         self.state = self.state.replace(
             opt_state=set_learning_rate(self.state.opt_state, lr))
         losses = []
-        for batch in self.train_loader:
-            d = self._put(batch)
-            self.key, sub = jax.random.split(self.key)
-            self.state, loss = self._train_step(
-                self.state, d["img_pre"], d["img_post"], d["msk"],
-                d["lbl_msk"], sub)
-            losses.append(loss)
+        scan_ok = (getattr(self.args, "scan_epoch", False)
+                   and self.args.batch_size % self.n_devices == 0)
+        if scan_ok:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            for chunk in self._scan_chunks(epoch):
+                staged = tuple(jax.device_put(c, sh) for c in chunk)
+                self.key, sub = jax.random.split(self.key)
+                keys = jax.random.split(sub, chunk[0].shape[0])
+                self.state, loss_arr = self._train_chunk_scan(
+                    self.state, *staged, keys)
+                losses.extend(np.asarray(loss_arr).tolist())
+        else:
+            for batch in self.train_loader:
+                d = self._put(batch)
+                self.key, sub = jax.random.split(self.key)
+                self.state, loss = self._train_step(
+                    self.state, d["img_pre"], d["img_post"], d["msk"],
+                    d["lbl_msk"], sub)
+                losses.append(loss)
         mean_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         self.logger.write(f"epoch: {epoch}; lr {lr:.7f}; Loss {mean_loss:.4f}\n")
         return mean_loss
@@ -286,10 +352,14 @@ class XBDTrainer:
             # and the score averages only the real classes
             # (train_adapt.py:284-287 uses 3-class harmonic F1).
             n_dmg = d["msk"].shape[-1] - 1
+            valid = d.get("valid")
+            if valid is None:
+                valid = jnp.ones(d["msk"].shape[0], jnp.bool_)
             dd, tp, fp, fn = self._eval_step(
                 self.state.params, self.state.batch_stats,
-                d["img_pre"], d["img_post"], d["msk"], d["lbl_msk"])
-            dices.append(np.asarray(dd))
+                d["img_pre"], d["img_post"], d["msk"], d["lbl_msk"], valid)
+            # per-image dice: drop pad filler rows on host
+            dices.append(np.asarray(dd)[np.asarray(valid)])
             tps.append(np.asarray(tp))
             fps.append(np.asarray(fp))
             fns.append(np.asarray(fn))
@@ -357,8 +427,26 @@ class GANTrainer(XBDTrainer):
         self.d_tx = make_optimizer(1e-4, weight_decay=1e-6)
         self.d_state = jax.device_put(TrainState.create(d_vars, self.d_tx),
                                       replicated_sharding(self.mesh))
+        # Resume the discriminator too. The reference persists only the
+        # generator (train_GAN.py:300-310), so a resumed GAN run silently
+        # restarts D from scratch — documented divergence, improved on like
+        # the base-class full-TrainState resume.
+        restored = load_checkpoint(self.checkpoint_dir, "best_ckpt_D",
+                                   self.d_state)
+        if restored is not None:
+            self.d_state = jax.device_put(restored[0],
+                                          replicated_sharding(self.mesh))
+            self.logger.write("resumed best_ckpt_D (discriminator)\n")
         self._gan_step = jax.jit(self._gan_step_impl, donate_argnums=(0, 1),
                                  static_argnames=("update_disc",))
+
+    def evaluate_and_checkpoint(self, epoch: int) -> dict:
+        prev_best = self.best_score
+        scores = super().evaluate_and_checkpoint(epoch)
+        if scores["score"] > prev_best:  # generator snapshot was just taken
+            save_checkpoint(self.checkpoint_dir, "best_ckpt_D", self.d_state,
+                            {"epoch": epoch + 1})
+        return scores
 
     def _disc_apply(self, d_state, masks, train):
         return self.disc.apply(

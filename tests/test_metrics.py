@@ -80,3 +80,23 @@ def test_xview2_score_formula():
     out = xview2_scores(0.8, np.array([0.9, 0.7, 0.7, 0.7]))
     f1 = 4.0 / np.sum(1.0 / (np.array([0.9, 0.7, 0.7, 0.7]) + 1e-6))
     assert out["score"] == pytest.approx(0.3 * 0.8 + 0.7 * f1)
+
+
+def test_per_sample_confusion_matrix_matches_batch():
+    import jax.numpy as jnp
+
+    from dahitra_tpu.metrics.confusion import (batch_confusion_matrix,
+                                               per_sample_confusion_matrix)
+
+    rng = np.random.default_rng(11)
+    pred = jnp.asarray(rng.integers(0, 3, (5, 16, 16)))
+    gt = jnp.asarray(rng.integers(0, 4, (5, 16, 16)))  # 3 = out-of-range
+    ps = np.asarray(per_sample_confusion_matrix(pred, gt, 3))
+    assert ps.shape == (5, 3, 3)
+    np.testing.assert_array_equal(
+        ps.sum(axis=0), np.asarray(batch_confusion_matrix(pred, gt, 3)))
+    # each sample's block matches its own standalone matrix
+    for i in range(5):
+        np.testing.assert_array_equal(
+            ps[i], np.asarray(batch_confusion_matrix(pred[i:i+1],
+                                                     gt[i:i+1], 3)))

@@ -158,3 +158,100 @@ def test_mesh_from_gpu_ids_warns_on_drops(capsys):
     assert "out of range" in capsys.readouterr().out
     mesh_from_gpu_ids("0,1,2", n_space=2)
     assert "not divisible" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_xbd_validate_multidevice_matches_single(tmp_path):
+    """XBDTrainer.validate() on the 8-device data mesh with a RAGGED val set
+    (5 samples, batch 8 -> padded): scores equal the single-device run —
+    pad filler must not pollute dice or the per-class tp/fp/fn."""
+    from dahitra_tpu.core.mesh import make_mesh
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+
+    rng = np.random.default_rng(1)
+    n, s = 5, 32
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": rng.integers(0, 2, (n, s, s, 5)).astype(np.uint8),
+        "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
+    }
+    scores = {}
+    for tag, (n_data, devices) in (("single", (1, jax.devices()[:1])),
+                                   ("mesh", (8, None))):
+        mesh = make_mesh(n_data=n_data, n_space=1, devices=devices)
+        args = argparse.Namespace(
+            net_G="xbd_res34_double", img_size=s, batch_size=8,
+            val_batch_size=8, lr=1e-4, max_epochs=1,
+            checkpoint_dir=str(tmp_path / ("v" + tag)), bf16=False, seed=0,
+            warm_start_from=None)
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        tr = XBDTrainer(args, arrays, arrays, mesh=mesh, task="damage")
+        scores[tag] = tr.validate()
+    assert scores["mesh"]["score"] == pytest.approx(
+        scores["single"]["score"], rel=2e-3)
+    assert scores["mesh"]["dice_loc"] == pytest.approx(
+        scores["single"]["dice_loc"], rel=2e-3)
+    np.testing.assert_allclose(scores["mesh"]["class_f1"],
+                               scores["single"]["class_f1"], rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_xbd_scan_epoch_matches_loop(tmp_path):
+    """The chunked scan epoch steps the same shuffled batches as a per-batch
+    replay from the same initial state (losses match, params close)."""
+    import jax.numpy as jnp
+    from dahitra_tpu.core.mesh import make_mesh
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+
+    rng = np.random.default_rng(2)
+    n, s = 8, 32
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": rng.integers(0, 2, (n, s, s, 5)).astype(np.uint8),
+        "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
+    }
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+
+    def mk(tag, **over):
+        a = argparse.Namespace(
+            net_G="xbd_res34_double", img_size=s, batch_size=2,
+            val_batch_size=2, lr=1e-4, max_epochs=1,
+            checkpoint_dir=str(tmp_path / tag), bf16=False, seed=0,
+            warm_start_from=None, **over)
+        os.makedirs(a.checkpoint_dir, exist_ok=True)
+        return a
+
+    tr = XBDTrainer(mk("scan", scan_epoch=True, scan_chunk_batches=2),
+                    arrays, arrays, mesh=mesh, task="damage")
+    key0 = tr.key
+    tr.train_one_epoch(0)
+
+    # Replay the same chunks per-batch from a fresh identical trainer.
+    tr2 = XBDTrainer(mk("loop"), arrays, arrays, mesh=mesh, task="damage")
+    tr2.key = key0
+    losses = []
+    from dahitra_tpu.train.optim import (XBD_MULTISTEP_MILESTONES, epoch_lr,
+                                         set_learning_rate)
+    lr = epoch_lr(tr2.base_lr, 0, "multistep", 1,
+                  milestones=XBD_MULTISTEP_MILESTONES, gamma=0.6,
+                  after_epoch_step=True)
+    tr2.state = tr2.state.replace(
+        opt_state=set_learning_rate(tr2.state.opt_state, lr))
+    for chunk in tr2._scan_chunks(0):
+        tr2.key, sub = jax.random.split(tr2.key)
+        keys = jax.random.split(sub, chunk[0].shape[0])
+        for i in range(chunk[0].shape[0]):
+            tr2.state, loss = tr2._train_step(
+                tr2.state, *(jnp.asarray(c[i]) for c in chunk), keys[i])
+            losses.append(float(loss))
+    assert len(losses) == 4
+    # AdamW normalizes by sqrt(v): fusion-order fp32 noise can flip the
+    # update sign where grads ~0, so per-element drift saturates at ~lr per
+    # step — slightly more during bias-correction warmup (see
+    # test_scan_epoch_equals_step_loop). Bound: 1.5 * steps * lr.
+    for a, b in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1.5 * len(losses) * 1e-4)

@@ -217,3 +217,65 @@ def test_scan_epoch_multidevice(tmp_path):
     changed = jax.tree.map(lambda a, b: not np.allclose(a, np.asarray(b)),
                            p0, tr.state.params)
     assert any(jax.tree.leaves(changed))
+
+
+def test_evaluator_per_group_scores(tmp_path):
+    """group_of regrouping: per-group blocks equal independent evaluation
+    of each group's sub-arrays (the 16-patch sweep semantics)."""
+    from dahitra_tpu.train.engine import CDTrainer
+    from dahitra_tpu.evalx.evaluator import CDEvaluator
+    from dahitra_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    args = make_args(tmp_path, max_epochs=1, batch_size=3)
+    arrays = synthetic_arrays(6)
+    CDTrainer(args, arrays, arrays, mesh=mesh).train_models()
+
+    group_of = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    ev = CDEvaluator(args, arrays, mesh=mesh)
+    scores = ev.eval_models(group_of=group_of)
+    assert len(scores["per_group"]) == 2
+    for gid in (0, 1):
+        sub = {k: v[group_of == gid] for k, v in arrays.items()}
+        ev_g = CDEvaluator(args, sub, mesh=mesh)
+        want = ev_g.eval_models()
+        got = scores["per_group"][gid]
+        assert got["patch"] == gid
+        assert got["mf1"] == pytest.approx(want["mf1"], abs=1e-6)
+        assert got["acc"] == pytest.approx(want["acc"], abs=1e-6)
+    # grouped scan path agrees too
+    scores_scan = CDEvaluator(args, arrays, mesh=mesh).eval_models(
+        scan=True, group_of=group_of)
+    for a, b in zip(scores["per_group"], scores_scan["per_group"]):
+        assert a["mf1"] == pytest.approx(b["mf1"], abs=1e-5)
+
+
+def test_in_epoch_progress_lines_and_vis(tmp_path):
+    """Per-batch path: periodic progress lines (imps/est/running mF1) and
+    opt-in train vis dumps; scan path: chunked scans interleave lines."""
+    from dahitra_tpu.train.engine import CDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    arrays = synthetic_arrays(8, size=32)
+
+    args = make_args(tmp_path, project_name="obs", net_G="base_resnet18",
+                     img_size=32, batch_size=2, max_epochs=1)
+    args.log_every = 2
+    args.vis_train_every = 3
+    tr = CDTrainer(args, arrays, arrays, mesh=mesh)
+    tr.train_one_epoch(0)
+    log = open(os.path.join(args.checkpoint_dir, "log.txt")).read()
+    assert "[0,2][4]" in log and "est:" in log and "running_mf1:" in log
+    assert os.path.exists(os.path.join(args.vis_dir, "train_e0_b3.jpg"))
+
+    args2 = make_args(tmp_path, project_name="obs_scan",
+                      net_G="base_resnet18", img_size=32, batch_size=2,
+                      max_epochs=1)
+    args2.scan_epoch = True
+    args2.log_chunks = 2
+    tr2 = CDTrainer(args2, arrays, arrays, mesh=mesh)
+    scores = tr2.train_one_epoch(0)
+    assert 0.0 <= scores["mf1"] <= 1.0
+    log2 = open(os.path.join(args2.checkpoint_dir, "log.txt")).read()
+    assert "[0,2][4]" in log2  # interleaved mid-epoch line from chunk 1

@@ -117,3 +117,30 @@ def test_gan_trainer_smoke(tmp_path):
     trainer.train_one_epoch(0)
     scores = trainer.evaluate_and_checkpoint(0)
     assert np.isfinite(scores["score"])
+
+
+@pytest.mark.slow
+def test_gan_trainer_resumes_discriminator(tmp_path):
+    """A killed GAN run resumes BOTH generator and discriminator states
+    (the reference restarts D from scratch — train_GAN.py:300-310)."""
+    from dahitra_tpu.train.xbd_engine import GANTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+    import jax as _jax
+
+    args = argparse.Namespace(
+        net_G="xbd_dahitra", img_size=32, batch_size=2, val_batch_size=2,
+        lr=0.0, max_epochs=1, checkpoint_dir=str(tmp_path), bf16=False,
+        seed=0, warm_start_from=None)
+    arrays = _tiny_arrays(channels=5)
+    mesh = make_mesh(n_data=1, devices=_jax.devices()[:1])
+    tr = GANTrainer(args, arrays, arrays, mesh=mesh)
+    tr.train_one_epoch(0)
+    tr.evaluate_and_checkpoint(0)
+    import os as _os
+    assert _os.path.exists(str(tmp_path / "best_ckpt_D"))
+    d_params = _jax.tree.leaves(tr.d_state.params)
+
+    tr2 = GANTrainer(args, arrays, arrays, mesh=mesh)  # fresh process sim
+    assert int(tr2.d_state.step) == int(tr.d_state.step)
+    for a, b in zip(d_params, _jax.tree.leaves(tr2.d_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
