@@ -107,6 +107,11 @@ def run_xbd(loc_epochs: int, dmg_epochs: int, img_size: int = 512) -> dict:
             dmg_f1.append(round(sc.get("damage_f1", 0.0), 5))
         out["xbd_damage"] = {
             "metric": "xview2_score (0.3*dice + 0.7*harmonic_F1)",
+            "note": "harmonic F1 over 4 damage classes collapses to ~0 "
+                    "when any class has no pixels in the tiny fixture val "
+                    "set (the +1e-6 guard dominates) — the reference's "
+                    "metric (train.py:281-289) does the same; the rising "
+                    "score curve is the dice term learning localization",
             "recipe": "train.py Res34_Unet_Double branch (5-class, warm "
                       "start from res34 loc, ComboLoss dice+8*focal "
                       "channel-weighted)",

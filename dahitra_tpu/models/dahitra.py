@@ -202,7 +202,7 @@ class DAHiTraUNet(nn.Module):
         self.classifier = nn.Conv(self.output_nc, (3, 3), padding=1,
                                   dtype=self.dtype, name="classifier")
 
-    def forward_single(self, x: jax.Array, train: bool
+    def forward_single(self, x: jax.Array, train: bool, pair: bool = False
                        ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
         """4-scale trunk (networks.py:1118-1138).
 
@@ -211,13 +211,13 @@ class DAHiTraUNet(nn.Module):
         trunk's ``nn.ReLU(inplace=True)`` mutates ``x`` first, so the
         effective stem is the standard post-ReLU pooling — verified
         numerically in tests/test_oracle_parity.py."""
-        pre = self.trunk.stem_preact(x, train)
+        pre = self.trunk.stem_preact(x, train, pair)
         x_2 = nn.relu(pre)                      # 1/2, 64ch
         x_pool = max_pool_3x3_s2(x_2)           # pools POST-ReLU (inplace)
-        x_4 = self.trunk.layer1(x_pool, train)  # 1/4, 64ch
-        x_8 = self.trunk.layer2(x_4, train)     # 1/8, 128ch
+        x_4 = self.trunk.layer1(x_pool, train, pair)  # 1/4, 64ch
+        x_8 = self.trunk.layer2(x_4, train, pair)     # 1/8, 128ch
         x_8p = max_pool_3x3_s2(x_8)             # extra pool -> 1/16
-        x_16 = self.trunk.layer3(x_8p, train)   # 1/16, 256ch (stride-1 layer3)
+        x_16 = self.trunk.layer3(x_8p, train, pair)   # 1/16, 256ch
         return x_2, x_4, x_8, x_16
 
     def __call__(self, x1: jax.Array, x2: jax.Array = None,
@@ -225,10 +225,21 @@ class DAHiTraUNet(nn.Module):
         if x2 is None:
             # xBD 6-channel convention: x1 = cat(pre, post) on channels.
             x1, x2 = x1[..., :3], x1[..., 3:]
-        if train:
+        import os as _os
+        pair_ok = _os.environ.get("DAHITRA_PAIR_BN", "1") != "0"
+        if train and pair_ok:
             # BN batch statistics are per-date in the reference (each
-            # forward_single is a separate BN pass), so train mode keeps
-            # two trunk calls.
+            # forward_single is a separate BN pass). PairBatchNorm computes
+            # the SAME per-date statistics (and the same sequential
+            # running-stat update) from one [date1; date2] batch-stacked
+            # pass, so the convs run once at 2x batch — half the kernel
+            # launches of the two-pass form (tests/test_pair_bn.py pins
+            # equality with the two-pass path).
+            f = self.forward_single(jnp.concatenate([x1, x2], axis=0),
+                                    train, pair=True)
+            (a2, b2), (a4, b4), (a8, b8), (a16, b16) = (
+                jnp.split(t, 2, axis=0) for t in f)
+        elif train:
             a2, a4, a8, a16 = self.forward_single(x1, train)
             b2, b4, b8, b16 = self.forward_single(x2, train)
         else:

@@ -27,29 +27,107 @@ from dahitra_tpu.nn.blocks import max_pool_3x3_s2
 Dtype = Any
 
 
+class PairBatchNorm(nn.Module):
+    """BatchNorm whose ``pair=True`` mode treats the leading batch axis as
+    TWO stacked groups [date1; date2] and reproduces EXACTLY what two
+    sequential ``nn.BatchNorm`` train calls (one per date) would do:
+
+      * each half is normalized by its own batch statistics, and
+      * the running stats receive the composed sequential update
+        ``ra'' = m*(m*ra + (1-m)*s1) + (1-m)*s2``.
+
+    The CD references run their twin-date trunks as two separate module
+    calls (networks.py:233-257, :1118-1138), which is per-date BN train
+    semantics; this module keeps that exact math while letting the convs
+    around it see one 2B-stacked batch (full MXU batch, half the kernel
+    launches). ``pair=False`` is bit-equal to flax ``nn.BatchNorm``
+    (asserted in tests/test_pair_bn.py). Variable names (params
+    scale/bias, batch_stats mean/var) match nn.BatchNorm, so checkpoints
+    and the torch importer are unchanged."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    # Output dtype. Statistics and the normalization arithmetic are ALWAYS
+    # fp32; bfloat16 output halves the inter-block activation traffic and
+    # is numerically identical for every consumer that casts to bf16
+    # anyway (convs, pools — rounding commutes with max), differing only
+    # in the residual-carry adds.
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool,
+                 pair: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        xf = x.astype(jnp.float32)
+        red = tuple(range(x.ndim - 1))
+        m = self.momentum
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        elif pair:
+            b2 = x.shape[0]
+            xg = xf.reshape(2, b2 // 2, *x.shape[1:])
+            gmean = jnp.mean(xg, axis=tuple(range(1, xg.ndim - 1)))  # (2, C)
+            gmsq = jnp.mean(xg * xg, axis=tuple(range(1, xg.ndim - 1)))
+            gvar = jnp.maximum(gmsq - gmean * gmean, 0.0)
+            # per-half normalization
+            mean = jnp.repeat(gmean, b2 // 2, axis=0).reshape(
+                b2, *([1] * (x.ndim - 2)), c)
+            var = jnp.repeat(gvar, b2 // 2, axis=0).reshape(
+                b2, *([1] * (x.ndim - 2)), c)
+            if not self.is_initializing():
+                ra_mean.value = (m * (m * ra_mean.value + (1 - m) * gmean[0])
+                                 + (1 - m) * gmean[1])
+                ra_var.value = (m * (m * ra_var.value + (1 - m) * gvar[0])
+                                + (1 - m) * gvar[1])
+        else:
+            mean = jnp.mean(xf, axis=red)
+            msq = jnp.mean(xf * xf, axis=red)
+            var = jnp.maximum(msq - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        # same op association as flax nn.BatchNorm._normalize:
+        # mul = rsqrt(var+eps)*scale, y = (x-mean)*mul + bias
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        return ((xf - mean) * mul + bias).astype(self.dtype)
+
+
+def _bn_out_dtype(dtype):
+    """BN output dtype for the trunk: the conv compute dtype (bf16 halves
+    inter-block traffic; fp32 models unchanged). DAHITRA_BF16_TRUNK=0
+    restores fp32 BN outputs everywhere."""
+    import os
+    if os.environ.get("DAHITRA_BF16_TRUNK", "1") == "0":
+        return jnp.float32
+    return dtype
+
+
 class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 pair: bool = False) -> jax.Array:
         identity = x
         y = nn.Conv(self.filters, (3, 3), strides=self.stride, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
+        y = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn1")(y, not train, pair)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn2")(y)
+        y = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn2")(y, not train, pair)
         if self.stride != 1 or x.shape[-1] != self.filters:
             identity = nn.Conv(self.filters, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype, name="down_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=jnp.float32,
-                                    name="down_bn")(identity)
+            identity = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="down_bn")(identity, not train, pair)
         return nn.relu(y + identity)
 
 
@@ -59,28 +137,24 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 pair: bool = False) -> jax.Array:
         identity = x
         out_ch = self.filters * 4
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
+        y = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn1")(y, not train, pair)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), strides=self.stride, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn2")(y)
+        y = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn2")(y, not train, pair)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn3")(y)
+        y = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn3")(y, not train, pair)
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype, name="down_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=jnp.float32,
-                                    name="down_bn")(identity)
+            identity = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="down_bn")(identity, not train, pair)
         return nn.relu(y + identity)
 
 
@@ -101,11 +175,12 @@ class ResNetLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 pair: bool = False) -> jax.Array:
         cls = BasicBlock if self.block == "basic" else Bottleneck
         for i in range(self.num_blocks):
             x = cls(self.filters, stride=self.stride if i == 0 else 1,
-                    dtype=self.dtype, name=f"block{i}")(x, train)
+                    dtype=self.dtype, name=f"block{i}")(x, train, pair)
         return x
 
 
@@ -127,8 +202,7 @@ class ResNetTrunk(nn.Module):
         rswd = self.replace_stride_with_dilation
         self.conv1 = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                              dtype=self.dtype, name="conv1")
-        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
-                                name="bn1")
+        self.bn1 = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn1")
         self.layer1 = ResNetLayer(64, sizes[0], 1, block, self.dtype, name="layer1")
         self.layer2 = ResNetLayer(128, sizes[1], 1 if rswd[0] else 2, block,
                                   self.dtype, name="layer2")
@@ -137,20 +211,26 @@ class ResNetTrunk(nn.Module):
         self.layer4 = ResNetLayer(512, sizes[3], 1 if rswd[2] else 2, block,
                                   self.dtype, name="layer4")
 
-    def stem_preact(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def stem_preact(self, x: jax.Array, train: bool = False,
+                    pair: bool = False) -> jax.Array:
         """conv1 -> bn1, WITHOUT the ReLU (the DAHiTra trunk taps this —
         networks.py:1120-1123 maxpools the pre-ReLU bn1 output)."""
-        return self.bn1(self.conv1(x), use_running_average=not train)
+        return self.bn1(self.conv1(x), not train, pair)
 
-    def stem(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def stem(self, x: jax.Array, train: bool = False,
+             pair: bool = False) -> jax.Array:
         """conv1 -> bn1 -> relu -> maxpool (standard torchvision stem)."""
-        return max_pool_3x3_s2(nn.relu(self.stem_preact(x, train)))
+        return max_pool_3x3_s2(nn.relu(self.stem_preact(x, train, pair)))
 
     def __call__(self, x: jax.Array, train: bool = False,
-                 num_stages: int = 4) -> jax.Array:
-        """Standard sequential forward through ``num_stages`` layers."""
-        x = self.stem(x, train)
+                 num_stages: int = 4, pair: bool = False) -> jax.Array:
+        """Standard sequential forward through ``num_stages`` layers.
+
+        ``pair=True`` (train only): x is the [date1; date2] batch-stacked
+        tensor and every BatchNorm runs grouped per-date statistics — the
+        exact math of two sequential per-date passes (see PairBatchNorm)."""
+        x = self.stem(x, train, pair)
         for i, layer in enumerate((self.layer1, self.layer2, self.layer3,
                                    self.layer4)[:num_stages]):
-            x = layer(x, train)
+            x = layer(x, train, pair)
         return x
