@@ -170,12 +170,17 @@ class TwoLayerConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from dahitra_tpu.nn.resnet import PairBatchNorm, _bn_out_dtype
+
         k = self.kernel_size
         c_in = x.shape[-1]
         x = nn.Conv(c_in, (k, k), padding=k // 2, use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn")(x)
+        # PairBatchNorm(pair=False) == nn.BatchNorm (fp32 stats), with the
+        # output in the conv compute dtype — conv2 casts anyway, so bf16
+        # mode just stops carrying an fp32 intermediate.
+        x = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn")(
+            x, not train)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (k, k), padding=k // 2, dtype=self.dtype,
                     name="conv2")(x)
@@ -205,10 +210,12 @@ class ConvReluBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from dahitra_tpu.nn.resnet import PairBatchNorm, _bn_out_dtype
+
         x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
                     padding=1, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn")(x)
+        x = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn")(
+            x, not train)
         return nn.relu(x)
 
 

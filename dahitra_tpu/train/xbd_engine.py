@@ -322,8 +322,12 @@ class XBDTrainer:
         scan_ok = (getattr(self.args, "scan_epoch", False)
                    and self.args.batch_size % self.n_devices == 0)
         if scan_ok:
+            import time as _time
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "data"))
+            t0 = _time.time()
+            n_total = len(next(iter(self._train_arrays.values()))) \
+                // self.args.batch_size
             for chunk in self._scan_chunks(epoch):
                 staged = tuple(jax.device_put(c, sh) for c in chunk)
                 self.key, sub = jax.random.split(self.key)
@@ -331,6 +335,13 @@ class XBDTrainer:
                 self.state, loss_arr = self._train_chunk_scan(
                     self.state, *staged, keys)
                 losses.extend(np.asarray(loss_arr).tolist())
+                if len(losses) < n_total:  # mid-epoch progress line
+                    el = _time.time() - t0
+                    tiles = len(losses) * self.args.batch_size
+                    self.logger.write(
+                        f"epoch {epoch} [{len(losses)}/{n_total}] "
+                        f"imps: {tiles / max(el, 1e-9):.2f}, "
+                        f"Loss {float(np.mean(losses)):.4f}\n")
         else:
             for batch in self.train_loader:
                 d = self._put(batch)
