@@ -185,16 +185,20 @@ class CDEvaluator:
         elif device_cache or grouped:
             for a, b, l in self.stage_on_device():
                 if grouped:
-                    ps, _ = self._eval_step_ps(self.params, self.batch_stats,
-                                               a, b, l)
+                    ps, pred = self._eval_step_ps(self.params,
+                                                  self.batch_stats, a, b, l)
                     ps = np.asarray(ps)
                     ps_cms.append(ps)
                     cms.append(ps.sum(axis=0))
                 else:
-                    cm, _ = self._eval_step(self.params, self.batch_stats,
-                                            a, b, l)
+                    cm, pred = self._eval_step(self.params, self.batch_stats,
+                                               a, b, l)
                     cms.append(cm)
                 n_img += a.shape[0]
+                if save_vis:
+                    self._save_vis({"a": np.asarray(a), "b": np.asarray(b),
+                                    "label": np.asarray(l)},
+                                   np.asarray(pred), n_img)
         else:
             for batch in self.loader:
                 a = jax.device_put(batch["a"], sh)

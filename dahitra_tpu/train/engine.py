@@ -97,8 +97,10 @@ class CDTrainer:
         self._train_epoch_scan = jax.jit(self._train_epoch_scan_impl,
                                          donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._val_epoch_scan = jax.jit(self._val_epoch_scan_impl)
         self._train_arrays = train_arrays
         self._staged_train = None  # device-resident dataset (scan_epoch path)
+        self._staged_val = None
 
         self.epoch_to_start = 0
         self.best_val_acc = 0.0
@@ -234,6 +236,37 @@ class CDTrainer:
             cols.append(rng.permutation(n_local)[: n_batches * per_dev]
                         .reshape(n_batches, per_dev))
         return np.concatenate(cols, axis=1)
+
+    def _val_epoch_scan_impl(self, state: TrainState, a_all, b_all, l_all):
+        """One-dispatch validation: lax.scan of the eval step over the
+        staged (n_batches, B, ...) val set, CM accumulated on device — the
+        validate analog of the scan train epoch (per-batch dispatches cost
+        ~30-50 ms tunnel RPC each on this chip)."""
+
+        def body(cm, xs):
+            return cm + self._eval_step_impl(state, *xs), None
+
+        init = jnp.zeros((self.n_class, self.n_class), jnp.int32)
+        cm, _ = jax.lax.scan(body, init, (a_all, b_all, l_all))
+        return cm
+
+    def _stage_val(self):
+        """Stage full val batches in HBM as (n_batches, B, ...) stacks,
+        sharded over 'data'; the ragged tail stays host-side and runs
+        through the per-batch step."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, "data"))  # batch dim is axis 1
+        bs = self.val_loader.batch_size
+        full, tail = [], []
+        for batch in self.val_loader:
+            (full if len(batch["a"]) == bs else tail).append(batch)
+        if full:
+            stack = tuple(
+                jax.device_put(np.stack([b[k] for b in full]), sh)
+                for k in ("a", "b", "label"))
+        else:
+            stack = None
+        self._staged_val = (stack, tail)
 
     def _eval_step_impl(self, state: TrainState, a_u8, b_u8, l_u8):
         a, b, label = augment_pairs(a_u8, b_u8, l_u8,
@@ -372,9 +405,22 @@ class CDTrainer:
 
     def validate(self, epoch: int) -> dict:
         cms = []
-        for batch in self.val_loader:
-            d = self._put(batch)
-            cms.append(self._eval_step(self.state, d["a"], d["b"], d["label"]))
+        if getattr(self.args, "scan_epoch", False):
+            # One-dispatch validate over the HBM-staged val set.
+            if self._staged_val is None:
+                self._stage_val()
+            stack, tail = self._staged_val
+            if stack is not None:
+                cms.append(self._val_epoch_scan(self.state, *stack))
+            for batch in tail:  # ragged tail, per-batch
+                d = self._put(batch)
+                cms.append(self._eval_step(self.state, d["a"], d["b"],
+                                           d["label"]))
+        else:
+            for batch in self.val_loader:
+                d = self._put(batch)
+                cms.append(self._eval_step(self.state, d["a"], d["b"],
+                                           d["label"]))
         total_cm = np.asarray(sum(cms)) if cms else np.zeros((self.n_class,) * 2)
         scores = cm2score(total_cm)
         self.logger.write(

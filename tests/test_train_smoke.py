@@ -233,8 +233,10 @@ def test_evaluator_per_group_scores(tmp_path):
 
     group_of = np.array([0, 0, 0, 1, 1, 1], np.int32)
     ev = CDEvaluator(args, arrays, mesh=mesh)
-    scores = ev.eval_models(group_of=group_of)
+    scores = ev.eval_models(group_of=group_of, save_vis=True)
     assert len(scores["per_group"]) == 2
+    import glob
+    assert glob.glob(os.path.join(args.vis_dir, "eval_*.jpg"))
     for gid in (0, 1):
         sub = {k: v[group_of == gid] for k, v in arrays.items()}
         ev_g = CDEvaluator(args, sub, mesh=mesh)
@@ -279,3 +281,27 @@ def test_in_epoch_progress_lines_and_vis(tmp_path):
     assert 0.0 <= scores["mf1"] <= 1.0
     log2 = open(os.path.join(args2.checkpoint_dir, "log.txt")).read()
     assert "[0,2][4]" in log2  # interleaved mid-epoch line from chunk 1
+
+
+def test_scan_validate_matches_per_batch(tmp_path):
+    """scan_epoch validate (one-dispatch staged scan + ragged tail) gives
+    the same confusion-matrix scores as the per-batch path."""
+    from dahitra_tpu.train.engine import CDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    arrays = synthetic_arrays(7)  # ragged tail at batch 2 -> 3 full + 1 tail
+
+    args_s = make_args(tmp_path, project_name="vscan", net_G="base_resnet18",
+                       img_size=64, batch_size=2, max_epochs=1)
+    args_s.scan_epoch = True
+    tr_s = CDTrainer(args_s, arrays, arrays, mesh=mesh)
+    s_scan = tr_s.validate(0)
+
+    args_p = make_args(tmp_path, project_name="vloop", net_G="base_resnet18",
+                       img_size=64, batch_size=2, max_epochs=1)
+    tr_p = CDTrainer(args_p, arrays, arrays, mesh=mesh)
+    # same init seed -> same params
+    s_loop = tr_p.validate(0)
+    assert s_scan["mf1"] == pytest.approx(s_loop["mf1"], abs=1e-6)
+    assert s_scan["acc"] == pytest.approx(s_loop["acc"], abs=1e-6)
