@@ -485,11 +485,14 @@ class TransformerDecoder(nn.Module):
                     and self.heads * n_kv <= 128
                     and x.shape[-1] == self.dim)
         if use_fast:
-            from dahitra_tpu.nn.decoder_vjp import decoder_stack
+            # _auto n-chunks the call above ~2^18 rows, where XLA's fused
+            # kernels degrade ~2x (see decoder_vjp.decoder_stack_auto).
+            from dahitra_tpu.nn.decoder_vjp import decoder_stack_auto
 
-            return decoder_stack(x.astype(self.dtype), m.astype(self.dtype),
-                                 self._packed_params(), self.depth,
-                                 self.heads, self.dtype)
+            return decoder_stack_auto(x.astype(self.dtype),
+                                      m.astype(self.dtype),
+                                      self._packed_params(), self.depth,
+                                      self.heads, self.dtype)
         for i in range(self.depth):
             norm = self.attn_norm[i]
             x = x + self.attn[i](norm(x), norm(m), deterministic)

@@ -242,6 +242,39 @@ def _layer_bwd(dy, dm_acc, res, m, p, d, heads, dtype):
     return dx, dm_acc, grads
 
 
+# XLA's fused kernels for this stack fall off a cliff above ~2^18 rows
+# (rows = batch * tokens; measured on the v5e at n=4096/dim=32/depth 8:
+# per-64-batch fwd+bwd 5.8 -> 8.7 -> 14.2 ms at b64/b128/b256, forward
+# alone 2.3 -> 8.6 -> 19.7). Splitting the token axis into independent
+# sub-calls restores most of it: at b128 fwd 8.9 -> 4.8 ms, fwd+bwd
+# 17.8 -> 13.3; at b256 fwd 19.7 -> 10.1, fwd+bwd 46.5 -> 32.4
+# (interleaved same-process A/B). The split is EXACT: every decoder op is
+# per-token over n (attention reads only the per-sample memory tokens),
+# so slicing n is pure data parallelism, and unrolled slices let XLA
+# schedule the chunks independently (a lax.map scan serializes the
+# backward's weight-gradient accumulation and loses the win).
+_CHUNK_TRIGGER_ROWS = 1 << 18
+_CHUNK_TARGET_ROWS = 1 << 17
+
+
+def decoder_stack_auto(x: jax.Array, m: jax.Array,
+                       packed: Dict[str, jax.Array], depth: int, heads: int,
+                       dtype,
+                       trigger_rows: int = _CHUNK_TRIGGER_ROWS,
+                       target_rows: int = _CHUNK_TARGET_ROWS) -> jax.Array:
+    """decoder_stack, n-axis-chunked above the measured XLA size cliff."""
+    b, n, _ = x.shape
+    if b * n <= trigger_rows:
+        return decoder_stack(x, m, packed, depth, heads, dtype)
+    cn = max(1, target_rows // b)
+    cn = max(128, cn // 128 * 128)  # lane-aligned chunks
+    if cn >= n:
+        return decoder_stack(x, m, packed, depth, heads, dtype)
+    ys = [decoder_stack(x[:, i:i + cn], m, packed, depth, heads, dtype)
+          for i in range(0, n, cn)]
+    return jnp.concatenate(ys, axis=1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def decoder_stack(x: jax.Array, m: jax.Array, packed: Dict[str, jax.Array],
                   depth: int, heads: int, dtype) -> jax.Array:

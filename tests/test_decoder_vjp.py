@@ -86,3 +86,39 @@ def test_divergent_head_logits_grads_finite():
     assert np.isfinite(float(val))
     for leaf in jax.tree.leaves((gp, gx)):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_chunked_auto_matches_plain():
+    """decoder_stack_auto's n-axis chunking is exact: values and gradients
+    equal the single-call stack (thresholds shrunk so tiny CPU shapes
+    chunk; n=64 -> trigger at 64 rows, 128-aligned chunk floor is forced
+    down via target_rows)."""
+    from dahitra_tpu.nn.decoder_vjp import decoder_stack_auto
+
+    depth, heads = 3, 4
+    dec, params, packed, x, m = _setup(jnp.float32, b=2, n=256, depth=depth,
+                                       heads=heads)
+
+    def loss_plain(x_, m_, pk):
+        return jnp.mean(decoder_stack(x_, m_, pk, depth, heads,
+                                      jnp.float32) ** 2)
+
+    def loss_chunk(x_, m_, pk):
+        o = decoder_stack_auto(x_, m_, pk, depth, heads, jnp.float32,
+                               trigger_rows=256, target_rows=256)
+        return jnp.mean(o ** 2)
+
+    o_p = decoder_stack(x, m, packed, depth, heads, jnp.float32)
+    o_c = decoder_stack_auto(x, m, packed, depth, heads, jnp.float32,
+                             trigger_rows=256, target_rows=256)
+    # b=2, n=256 -> 512 rows > 256 trigger; chunk = max(128, 256//2) = 128,
+    # so two chunks actually run.
+    np.testing.assert_allclose(np.asarray(o_c), np.asarray(o_p), rtol=1e-6,
+                               atol=1e-6)
+
+    gp = jax.grad(loss_plain, argnums=(0, 1, 2))(x, m, packed)
+    gc = jax.grad(loss_chunk, argnums=(0, 1, 2))(x, m, packed)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gp),
+                     jax.tree_util.tree_leaves(gc)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=1e-5,
+                                   atol=1e-6)
