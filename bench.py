@@ -162,9 +162,12 @@ def main():
 
     eval_imps, eval_tflops = bench_eval(model, variables)
     train_imps, train_dt, n_batches = bench_train()
-    # TPU-native scaling point: the same recipe at batch 64 (the reference's
-    # batch 8 was a GPU memory limit, not a modeling choice).
+    # TPU-native scaling points: the same recipe at batch 64 and 128 (the
+    # reference's batch 8 was a GPU memory limit, not a modeling choice).
+    # b128 measured ~6% over b64 (interleaved A/B) once the decoder stack
+    # was n-chunked past XLA's size cliff; b256 exhausts HBM.
     train64_imps, _, _ = bench_train(64)
+    train128_imps, _, _ = bench_train(128)
 
     # Train FLOPs: cost_analysis on the whole donated-scan is awkward;
     # approximate with 3x the single-forward flops (fwd + bwd ~ 2x fwd),
@@ -188,6 +191,8 @@ def main():
         "train_mfu_pct": round(100 * train_tflops / CHIP_BF16_TFLOPS, 2),
         "train_b64_imps": round(train64_imps, 2),
         "train_b64_vs_baseline": round(train64_imps / BASELINE_IMPS, 2),
+        "train_b128_imps": round(train128_imps, 2),
+        "train_b128_vs_baseline": round(train128_imps / BASELINE_IMPS, 2),
     }))
 
 

@@ -12,11 +12,13 @@ autodiff backward for the depth-8 decoder runs 3-4x its forward
 This custom_vjp reassociates the backward the way the forward already is
 (nn/blocks.py CrossAttention small-memory path):
   * residuals are saved in the compute dtype (bf16): per layer only
-    ``x_in``, ``attn``, ``x1``, ``t`` (pre-GELU) plus per-token LN stats
-    and tiny (B, hl, dim) tensors - roughly half the default's traffic;
-  * LN x-hats and GELU are recomputed inside the backward (VPU work that
-    fuses into the surrounding elementwise chains - the backward here is
-    memory-bound, not FLOP-bound);
+    ``x_in`` plus per-token LN stats and tiny (B, hl, dim) tensors -
+    the only n-sized save is the layer input, ~1/8th of the default's
+    bytes (measured speed-neutral at b64 but ~3x less decoder
+    activation memory - see the note in _layer_fwd);
+  * everything else (LN x-hats, attn, x1, t, GELU) is recomputed inside
+    the backward with the same ops/dtypes/order as the forward, so the
+    values are bit-identical;
   * the two MXU-starved per-batch reductions are CONCATENATED into one
     (64, n)x(n, 64) matmul per layer (4x the per-tile utilization; the two
     off-diagonal blocks are discarded);
@@ -125,7 +127,15 @@ def _layer_fwd(x, m, p, d, heads, dtype, collect: bool):
     x2 = x1 + hgelu @ p["w2"][d].astype(dtype) + p["b2"][d].astype(dtype)
     if not collect:
         return x2, None
-    res = dict(x_in=x, attn=attn, x1=x1, t=t, kh=kh, vh=vh, a=a, z=z,
+    # Minimal save set: the ONLY n-sized residual is x_in. attn, x1 and t
+    # are recomputed exactly in the backward (same ops, operand dtypes and
+    # order as this forward, from x_in and the tiny per-batch a/z/kh/vh),
+    # quartering the bytes SAVED vs the earlier {x_in, attn, x1, t} set.
+    # Measured effect on the b64 train step: NEUTRAL (median 1.001x over 5
+    # interleaved A/B rounds) — post-chunking the backward is no longer
+    # save-bandwidth-bound — so this is kept for the ~3x smaller decoder
+    # activation footprint (batch-size headroom), not for speed.
+    res = dict(x_in=x, kh=kh, vh=vh, a=a, z=z,
                mu_x=mu_x, rs_x=rs_x, mu_m=mu_m, rs_m=rs_m, mu1=mu1, rs1=rs1)
     return x2, res
 
@@ -141,7 +151,7 @@ def _stack_fwd(x, m, p, depth, heads, dtype, collect):
 def _layer_bwd(dy, dm_acc, res, m, p, d, heads, dtype):
     """Backward of one layer. dy: (b,n,dim) cotangent of x2 (dtype);
     dm_acc: running (b,l,dim) cotangent of m. Returns (dx, dm_acc, grads)."""
-    x, attn, x1, t = res["x_in"], res["attn"], res["x1"], res["t"]
+    x = res["x_in"]
     b, n, dim = x.shape
     l = m.shape[-2]
     hl = heads * l
@@ -149,11 +159,29 @@ def _layer_bwd(dy, dm_acc, res, m, p, d, heads, dtype):
     inner = p["wq"].shape[-1]
     hd = inner // heads
 
+    # ---- recompute the n-sized forward intermediates (attn, x1, t) from
+    # x_in and the tiny saved per-batch tensors, with the same ops, operand
+    # dtypes and order as _layer_fwd so the values are bit-identical ----
+    x32 = x.astype(jnp.float32)
+    mu_x, rs_x = res["mu_x"], res["rs_x"]
+    s1, b1_ = p["ln1_scale"][d], p["ln1_bias"][d]
+    hn = _ln_apply(x32, mu_x, rs_x, s1, b1_).astype(dtype)
+    a, z = res["a"], res["z"]
+    dots = jnp.einsum("bnc,bcm->bnm", hn, a).astype(jnp.float32) * scale
+    mx = jnp.max(dots.reshape(b, n, heads, l), axis=-1, keepdims=True)
+    e = jnp.exp(dots - jnp.broadcast_to(mx, (b, n, heads, l)).reshape(b, n, hl))
+    sseg = jnp.asarray(_seg_matrix(heads, l))
+    denom = jax.lax.dot_general(e, sseg, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    attn = (e / denom).astype(dtype)
+    x1 = x + attn @ z + p["bo"][d].astype(dtype)
+
     # ---- FF backward ----
     x132 = x1.astype(jnp.float32)
     mu1, rs1 = res["mu1"], res["rs1"]
     s2 = p["ln2_scale"][d]
     g = _ln_apply(x132, mu1, rs1, s2, p["ln2_bias"][d]).astype(dtype)
+    t = g @ p["w1"][d].astype(dtype) + p["b1"][d].astype(dtype)
     t32 = t.astype(jnp.float32)
     hgelu = _gelu(t32).astype(dtype)
     dff = dy
@@ -173,19 +201,12 @@ def _layer_bwd(dy, dm_acc, res, m, p, d, heads, dtype):
     # ---- attention backward ----
     dao = dx1  # grad of attn_out (residual add)
     dbo = jnp.sum(dao.astype(jnp.float32), axis=(0, 1))
-    a, z = res["a"], res["z"]
-    # recompute hn (LN of x) for the starved reduction + its own bwd
-    x32 = x.astype(jnp.float32)
-    mu_x, rs_x = res["mu_x"], res["rs_x"]
-    s1, b1_ = p["ln1_scale"][d], p["ln1_bias"][d]
-    hn = _ln_apply(x32, mu_x, rs_x, s1, b1_).astype(dtype)
 
     dattn = jnp.einsum("bnc,bmc->bnm", dao, z)
-    # group softmax backward in fp32 (attn was saved in `dtype`; upcasting
-    # reproduces the fp32 softmax gradient to within dtype rounding)
+    # group softmax backward in fp32 (attn was recomputed in `dtype`;
+    # upcasting reproduces the fp32 softmax gradient to dtype rounding)
     a32 = attn.astype(jnp.float32)
     da32 = dattn.astype(jnp.float32)
-    sseg = jnp.asarray(_seg_matrix(heads, l))
     srow = jax.lax.dot_general(a32 * da32, sseg, (((2,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     dl = (a32 * (da32 - srow)) * scale
