@@ -644,6 +644,26 @@ def convert_dual_hrnet(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
             _bn_pair(sd, f"{fuse}.{i}.1", fp, fs, (f"fuse{i}_bn",))
         params[fuse] = fp
         stats[fuse] = fs
+
+    # Optional USE_FPN branch (dual_hrnet.py:634-663): branch 0 is a flat
+    # Sequential(conv, GN, ReLU); branch i>0 nests one Sequential(conv, GN,
+    # ReLU, Upsample) per chain step. GroupNorm has no running stats.
+    for fpn in ("fpn_loc", "fpn_cls"):
+        if f"{fpn}.0.0.weight" not in sd:
+            continue
+        fp = {}
+        _conv_b(sd, f"{fpn}.0.0", fp, ("fpn0_conv",))
+        _set(fp, ("fpn0_gn", "scale"), sd[f"{fpn}.0.1.weight"])
+        _set(fp, ("fpn0_gn", "bias"), sd[f"{fpn}.0.1.bias"])
+        for br in range(1, len(_HR_STAGE_CH[4])):
+            for k in range(br):
+                _conv_b(sd, f"{fpn}.{br}.{k}.0", fp,
+                        (f"fpn{br}_conv{k}",))
+                _set(fp, (f"fpn{br}_gn{k}", "scale"),
+                     sd[f"{fpn}.{br}.{k}.1.weight"])
+                _set(fp, (f"fpn{br}_gn{k}", "bias"),
+                     sd[f"{fpn}.{br}.{k}.1.bias"])
+        params[fpn] = fp
     return params, stats
 
 
@@ -683,7 +703,7 @@ def import_reference_checkpoint(path: str, net_g: str):
         params, stats = convert_se_unet(sd, "se_resnext50")
     elif net_g in ("xbd_senet154_loc", "xbd_senet154_double"):
         params, stats = convert_se_unet(sd, "senet154")
-    elif net_g == "dual_hrnet":
+    elif net_g in ("dual_hrnet", "dual_hrnet_fpn"):
         params, stats = convert_dual_hrnet(sd)
     elif net_g == "xbd_unet_change_transformer":
         params, stats = convert_xbd_unet_change_transformer(sd, bit=False)

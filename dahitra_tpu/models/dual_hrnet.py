@@ -179,10 +179,15 @@ class Transition(nn.Module):
 
 
 class HRNetStream(nn.Module):
-    """One HRNet-W32 stream, stage-addressable for cross-stream fusion."""
+    """One HRNet-W32 stream, stage-addressable for cross-stream fusion.
+
+    ``head_width`` sets the channel width of the last_layer head
+    (mask_last_layer's ``last_inp_channels``, dual_hrnet.py:384-402);
+    0 means the default concat width sum(stage4 channels) = 480."""
 
     n_classes: int
     dtype: Dtype = jnp.float32
+    head_width: int = 0
 
     def setup(self):
         dt = self.dtype
@@ -206,7 +211,7 @@ class HRNetStream(nn.Module):
                                       name="transition3")
         self.stage4 = [HRModule(STAGE4_CH, dt, name=f"stage4_m{i}")
                        for i in range(STAGE4_MODULES)]
-        total = sum(STAGE4_CH)
+        total = self.head_width or sum(STAGE4_CH)
         self.last_conv1 = nn.Conv(total, (1, 1), dtype=dt, name="last_conv1")
         self.last_bn = nn.BatchNorm(momentum=BN_MOM, epsilon=1e-5,
                                     dtype=jnp.float32, name="last_bn")
@@ -230,24 +235,70 @@ class HRNetStream(nn.Module):
         return xs
 
     def head(self, xs, train):
-        h, w = xs[0].shape[1], xs[0].shape[2]
-        cat = jnp.concatenate(
-            [xs[0]] + [_resize_bilinear(t, h, w) for t in xs[1:]], axis=-1)
+        if isinstance(xs, (list, tuple)):
+            h, w = xs[0].shape[1], xs[0].shape[2]
+            cat = jnp.concatenate(
+                [xs[0]] + [_resize_bilinear(t, h, w) for t in xs[1:]],
+                axis=-1)
+        else:
+            cat = xs  # FPN path: branches already fused to one map
         y = self.last_conv1(cat)
         y = nn.relu(self.last_bn(y, use_running_average=not train))
         return self.last_conv2(y)
 
 
+class _FPN(nn.Module):
+    """FPN upsampling head (dual_hrnet.py:634-663, :706-711): branch 0 is
+    conv3x3+GroupNorm(ch/8 groups)+ReLU; branch i>0 chains
+    (conv3x3 ch[idx]->ch[idx-1], GN, ReLU, bilinear x2) from idx=i down
+    to 1; branch outputs are SUMMED into one finest-resolution map."""
+
+    channels: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: List[jax.Array]) -> jax.Array:
+        ch = self.channels
+        y = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype,
+                    name="fpn0_conv")(xs[0])
+        y = nn.GroupNorm(num_groups=ch[0] // 8, epsilon=1e-5,
+                         dtype=jnp.float32, name="fpn0_gn")(y)
+        out = nn.relu(y)
+        for br in range(1, len(ch)):
+            t = xs[br]
+            for k, idx in enumerate(range(br, 0, -1)):
+                t = nn.Conv(ch[idx - 1], (3, 3), padding=1, dtype=self.dtype,
+                            name=f"fpn{br}_conv{k}")(t)
+                t = nn.GroupNorm(num_groups=ch[idx - 1] // 8, epsilon=1e-5,
+                                 dtype=jnp.float32, name=f"fpn{br}_gn{k}")(t)
+                t = nn.relu(t)
+                t = _resize_bilinear(t, t.shape[1] * 2, t.shape[2] * 2)
+            out = out + t
+        return out
+
+
 class DualHRNet(nn.Module):
     """Two fused HRNet streams; returns {'loc': (B,h,w,2), 'cls': (B,h,w,4)}
-    at 1/4 input resolution (the reference upsamples in its loss/eval)."""
+    at 1/4 input resolution (the reference upsamples in its loss/eval).
+
+    ``use_fpn`` enables the reference's USE_FPN branch (dead in the shipped
+    dual_hrnet_config.yaml:20, and BROKEN upstream: mask_last_layer() sizes
+    the head for the 480-ch concat while the FPN emits 32 ch, so torch
+    crashes on a channel mismatch — dual_hrnet.py:384-402 vs :706-711).
+    We apply the minimal fix, a 32-ch head (mask_last_layer(32)), mirrored
+    in the torch oracle of tests/test_oracle_parity.py."""
 
     dtype: Dtype = jnp.float32
+    use_fpn: bool = False
 
     def setup(self):
         dt = self.dtype
-        self.loc_net = HRNetStream(2, dt, name="loc_net")
-        self.cls_net = HRNetStream(4, dt, name="cls_net")
+        hw = STAGE4_CH[0] if self.use_fpn else 0
+        self.loc_net = HRNetStream(2, dt, head_width=hw, name="loc_net")
+        self.cls_net = HRNetStream(4, dt, head_width=hw, name="cls_net")
+        if self.use_fpn:
+            self.fpn_loc = _FPN(STAGE4_CH, dt, name="fpn_loc")
+            self.fpn_cls = _FPN(STAGE4_CH, dt, name="fpn_cls")
         self.fuse_loc = [
             _FuseList(STAGE2_CH, dt, name="fuse_loc_stage1"),
             _FuseList(STAGE3_CH, dt, name="fuse_loc_stage2"),
@@ -281,6 +332,9 @@ class DualHRNet(nn.Module):
                 a_list = trans_a(a_list, train)
                 b_list = trans_b(b_list, train)
 
+        if self.use_fpn:
+            a_list = self.fpn_loc(a_list)
+            b_list = self.fpn_cls(b_list)
         loc = self.loc_net.head(a_list, train)
         cls = self.cls_net.head(b_list, train)
         return {"loc": loc, "cls": cls}

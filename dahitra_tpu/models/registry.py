@@ -209,6 +209,14 @@ def _dual_hrnet(dtype=jnp.float32, **kw):
     return DualHRNet(dtype=dtype)
 
 
+@register("dual_hrnet_fpn")
+def _dual_hrnet_fpn(dtype=jnp.float32, **kw):
+    """DualHRNet with the USE_FPN branch (dual_hrnet_config.yaml:20 ships
+    it off, and it crashes upstream — see models/dual_hrnet.py docstring
+    for the mirrored minimal fix)."""
+    return DualHRNet(dtype=dtype, use_fpn=True)
+
+
 @register("xbd_bit")
 def _xbd_bit(dtype=jnp.float32, **kw):
     """xBD_code/train.py:54-55: BIT, 5-class."""

@@ -30,6 +30,45 @@ def test_dual_hrnet_outputs_quarter_res():
     assert any(k.startswith("fuse_loc") for k in p)
 
 
+def test_dual_hrnet_fpn_outputs_and_params():
+    """USE_FPN branch: summed FPN pyramid -> 32-ch heads (the reference's
+    own FPN path crashes upstream; see models/dual_hrnet.py docstring)."""
+    model = define_g("dual_hrnet_fpn")
+    key = jax.random.PRNGKey(1)
+    x6 = jax.random.normal(key, (1, 64, 64, 6))
+    variables = jax.jit(lambda k, x: model.init(k, x, None, False))(key, x6)
+    out = model.apply(variables, x6, None, False)
+    assert out["loc"].shape == (1, 16, 16, 2)
+    assert out["cls"].shape == (1, 16, 16, 4)
+    p = variables["params"]
+    assert "fpn_loc" in p and "fpn_cls" in p
+    # FPN-mode head is 32-wide (mask_last_layer(32)), not the 480 concat.
+    assert p["loc_net"]["last_conv1"]["kernel"].shape[-1] == 32
+
+
+def test_hrnet_fpn_trainer_smoke(tmp_path):
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+    from dahitra_tpu.core.mesh import make_mesh
+
+    rng = np.random.default_rng(2)
+    n, s = 2, 32
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": rng.integers(0, 2, (n, s, s, 5)).astype(np.uint8),
+        "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
+    }
+    args = argparse.Namespace(
+        net_G="dual_hrnet_fpn", img_size=s, batch_size=2, val_batch_size=2,
+        lr=0.0, max_epochs=1, checkpoint_dir=str(tmp_path), bf16=False,
+        seed=0, warm_start_from=None)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    trainer = XBDTrainer(args, arrays, arrays, mesh=mesh, task="hrnet")
+    trainer.train_one_epoch(0)
+    scores = trainer.evaluate_and_checkpoint(0)
+    assert np.isfinite(scores["score"])
+
+
 def test_dual_hrnet_loss_signal_is_cls_only():
     """The loc term argmaxes logits (train_dual_hrnet.py:337) — gradient-free;
     the cls CE carries the signal."""

@@ -338,6 +338,42 @@ def test_dual_hrnet_forward_parity():
                                    atol=3e-4, rtol=1e-3)
 
 
+def test_dual_hrnet_fpn_forward_parity():
+    """The USE_FPN branch (dual_hrnet.py:634-663, :706-711). Shipped yaml
+    turns it off, and with it on the reference CRASHES: mask_last_layer()
+    sizes the head for the 480-ch stage-4 concat while the FPN emits 32 ch
+    (dual_hrnet.py:384-402 vs :597-598). The minimal fix — a 32-ch head via
+    mask_last_layer(32) — is applied to the torch oracle here, mirroring
+    models/dual_hrnet.py's head_width."""
+    import torch
+
+    from ref_oracle import load_dual_hrnet
+
+    dh, cfg = load_dual_hrnet()
+    from dahitra_tpu.core.torch_import import convert_dual_hrnet
+
+    cfg.MODEL.USE_FPN = True
+    torch.manual_seed(13)
+    net = dh.get_model(cfg)
+    net.loc_net.mask_last_layer(32)
+    net.cls_net.mask_last_layer(32)
+    net = net.eval()
+    p, s = convert_dual_hrnet(sd_numpy(net))
+    assert "fpn_loc" in p and "fpn_cls" in p
+    rng = np.random.default_rng(13)
+    x6 = rng.normal(size=(1, 64, 64, 6)).astype(np.float32)
+    xt = torch.from_numpy(np.transpose(x6, (0, 3, 1, 2)).copy())
+    with torch.no_grad():
+        ref = net(xt)
+    model = define_g("dual_hrnet_fpn")
+    ours = model.apply({"params": p, "batch_stats": s}, jnp.asarray(x6),
+                       train=False)
+    for key in ("loc", "cls"):
+        r = np.transpose(ref[key].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(ours[key]), r,
+                                   atol=3e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("bit", [False, True])
 def test_xbd_unet_change_transformer_forward_parity(bit):
     """xBD UNet_Change_Transformer (zoo/models.py:1094-1226) and _BiT
