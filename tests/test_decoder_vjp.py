@@ -88,15 +88,17 @@ def test_divergent_head_logits_grads_finite():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
-def test_chunked_auto_matches_plain():
+@pytest.mark.parametrize("n", [256, 320])
+def test_chunked_auto_matches_plain(n):
     """decoder_stack_auto's n-axis chunking is exact: values and gradients
     equal the single-call stack (thresholds shrunk so tiny CPU shapes
-    chunk; n=64 -> trigger at 64 rows, 128-aligned chunk floor is forced
-    down via target_rows)."""
+    chunk). n=256 splits evenly into two 128-token chunks; n=320 leaves a
+    ragged 64-token tail chunk (the real-model shapes are 128-multiples,
+    but the slicing must stay exact regardless)."""
     from dahitra_tpu.nn.decoder_vjp import decoder_stack_auto
 
     depth, heads = 3, 4
-    dec, params, packed, x, m = _setup(jnp.float32, b=2, n=256, depth=depth,
+    dec, params, packed, x, m = _setup(jnp.float32, b=2, n=n, depth=depth,
                                        heads=heads)
 
     def loss_plain(x_, m_, pk):
