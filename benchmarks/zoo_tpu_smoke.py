@@ -1,0 +1,72 @@
+"""Compile + forward every registry model once on the real TPU chip.
+
+The CPU test suite pins numerics (19+ torch-oracle parity tests); this
+script validates the other half — that every zoo model actually compiles
+and runs on the hardware target (layouts, pools, resizes, n-chunked
+decoders) — and reports per-key compile+run time and output finiteness.
+
+    python benchmarks/zoo_tpu_smoke.py [keys...]   # default: all keys
+
+Keys whose architecture pins a resolution (bottleneck-transformer dims
+hardcode 256px) run at 256; everything else runs at 64 to keep the sweep
+fast. Exit code 1 if any key fails or yields non-finite output.
+"""
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dahitra_tpu.models import available_models, define_g
+
+SIZE_256 = {"unet_coupled_trans_256", "unet_coupled_two_trans_256",
+            "xbd_unet_change_transformer", "xbd_unet_change_transformer_bit"}
+
+
+def six_channel(key: str) -> bool:
+    return key.startswith("xbd_") or key.startswith("dual_hrnet")
+
+
+def main(argv=None) -> int:
+    keys = (argv or sys.argv[1:]) or sorted(available_models())
+    ok, bad = [], []
+    for key in keys:
+        s = 256 if key in SIZE_256 else 64
+        try:
+            model = define_g(key, dtype=jnp.bfloat16, img_size=s)
+            k = jax.random.PRNGKey(0)
+            t0 = time.time()
+            if six_channel(key):
+                x = jnp.zeros((2, s, s, 6), jnp.bfloat16)
+                v = jax.jit(lambda kk, xx: model.init(kk, xx, None, False))(k, x)
+                out = jax.jit(
+                    lambda vv, xx: model.apply(vv, xx, None, False))(v, x)
+            else:
+                a = jnp.zeros((2, s, s, 3), jnp.bfloat16)
+                v = jax.jit(
+                    lambda kk, aa, bb: model.init(kk, aa, bb, False))(k, a, a)
+                out = jax.jit(
+                    lambda vv, aa, bb: model.apply(vv, aa, bb, False))(v, a, a)
+            leaves = jax.tree_util.tree_leaves(out)
+            finite = all(bool(np.isfinite(np.asarray(l, np.float32)).all())
+                         for l in leaves)
+            dt = time.time() - t0
+            print(f"OK   {key:42s} {s}px out{getattr(leaves[-1], 'shape', ())}"
+                  f" finite={finite} {dt:5.1f}s", flush=True)
+            (ok if finite else bad).append(key)
+        except Exception as e:
+            print(f"FAIL {key:42s} {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            traceback.print_exc(limit=2)
+            bad.append(key)
+    print(f"\n{len(ok)} ok, {len(bad)} bad: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
