@@ -278,3 +278,23 @@ def test_res34_unet_import_loads_and_runs():
     assert out.shape == (1, 64, 64, 1)
     # All keys consumed into a tree the model accepts without re-init.
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_state_dict_to_numpy_unwraps_and_strips_prefix(tmp_path):
+    """The reference saves either {model_G_state_dict: ...}
+    (models/trainer.py:150-158) or {state_dict: ...} with DataParallel's
+    'module.' prefix (xBD_code/train.py:298-303, :450-456); the loader
+    must unwrap both and strip the prefix."""
+    from dahitra_tpu.core.torch_import import state_dict_to_numpy
+
+    w = torch.arange(6, dtype=torch.float32).reshape(2, 3)
+    for wrapper, prefix in (("model_G_state_dict", ""),
+                            ("state_dict", "module."),
+                            (None, "")):
+        inner = {prefix + "lin.weight": w}
+        ckpt = inner if wrapper is None else {wrapper: inner, "epoch": 3}
+        p = tmp_path / f"{wrapper}.pt"
+        torch.save(ckpt, str(p))
+        out = state_dict_to_numpy(str(p))
+        assert list(out) == ["lin.weight"]
+        np.testing.assert_array_equal(out["lin.weight"], w.numpy())
