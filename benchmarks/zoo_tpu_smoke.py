@@ -26,10 +26,19 @@ from dahitra_tpu.models import available_models, define_g
 
 SIZE_256 = {"unet_coupled_trans_256", "unet_coupled_two_trans_256",
             "xbd_unet_change_transformer", "xbd_unet_change_transformer_bit"}
+# Call convention per key. Loc models take one 3-ch pre-image with a
+# (x, train) signature (zoo/models.py:491-563); Res34_Unet_Single's stem
+# is a fresh Conv2d(4, 64) (zoo/models.py:342-345); the remaining xBD /
+# dual_hrnet keys take one 6-ch pre|post tensor via (x6, x2=None, train);
+# LEVIR keys take a (pre, post, train) pair.
+SINGLE_INPUT_CH = {"xbd_res34_loc": 3, "xbd_seresnext50_loc": 3,
+                   "xbd_senet154_loc": 3, "xbd_dpn92_loc": 3,
+                   "xbd_res34_single": 4}
 
 
 def six_channel(key: str) -> bool:
-    return key.startswith("xbd_") or key.startswith("dual_hrnet")
+    return (key.startswith("xbd_") or key.startswith("dual_hrnet")) \
+        and key not in SINGLE_INPUT_CH
 
 
 def main(argv=None) -> int:
@@ -41,7 +50,11 @@ def main(argv=None) -> int:
             model = define_g(key, dtype=jnp.bfloat16, img_size=s)
             k = jax.random.PRNGKey(0)
             t0 = time.time()
-            if six_channel(key):
+            if key in SINGLE_INPUT_CH:
+                x = jnp.zeros((2, s, s, SINGLE_INPUT_CH[key]), jnp.bfloat16)
+                v = jax.jit(lambda kk, xx: model.init(kk, xx, False))(k, x)
+                out = jax.jit(lambda vv, xx: model.apply(vv, xx, False))(v, x)
+            elif six_channel(key):
                 x = jnp.zeros((2, s, s, 6), jnp.bfloat16)
                 v = jax.jit(lambda kk, xx: model.init(kk, xx, None, False))(k, x)
                 out = jax.jit(
@@ -56,7 +69,8 @@ def main(argv=None) -> int:
             finite = all(bool(np.isfinite(np.asarray(l, np.float32)).all())
                          for l in leaves)
             dt = time.time() - t0
-            print(f"OK   {key:42s} {s}px out{getattr(leaves[-1], 'shape', ())}"
+            tag = "OK  " if finite else "BAD "
+            print(f"{tag} {key:42s} {s}px out{getattr(leaves[-1], 'shape', ())}"
                   f" finite={finite} {dt:5.1f}s", flush=True)
             (ok if finite else bad).append(key)
         except Exception as e:

@@ -705,6 +705,11 @@ def import_reference_checkpoint(path: str, net_g: str):
         params, stats = convert_se_unet(sd, "senet154")
     elif net_g in ("dual_hrnet", "dual_hrnet_fpn"):
         params, stats = convert_dual_hrnet(sd)
+        if net_g == "dual_hrnet_fpn" and "fpn_loc" not in params:
+            raise ValueError(
+                "checkpoint has no fpn_loc/fpn_cls weights (and its head "
+                "is the 480-ch concat, not the 32-ch FPN head) — import "
+                "it as --net_G dual_hrnet instead")
     elif net_g == "xbd_unet_change_transformer":
         params, stats = convert_xbd_unet_change_transformer(sd, bit=False)
     elif net_g == "xbd_unet_change_transformer_bit":

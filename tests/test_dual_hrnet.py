@@ -46,29 +46,6 @@ def test_dual_hrnet_fpn_outputs_and_params():
     assert p["loc_net"]["last_conv1"]["kernel"].shape[-1] == 32
 
 
-def test_hrnet_fpn_trainer_smoke(tmp_path):
-    from dahitra_tpu.train.xbd_engine import XBDTrainer
-    from dahitra_tpu.core.mesh import make_mesh
-
-    rng = np.random.default_rng(2)
-    n, s = 2, 32
-    arrays = {
-        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
-        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
-        "msk": rng.integers(0, 2, (n, s, s, 5)).astype(np.uint8),
-        "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
-    }
-    args = argparse.Namespace(
-        net_G="dual_hrnet_fpn", img_size=s, batch_size=2, val_batch_size=2,
-        lr=0.0, max_epochs=1, checkpoint_dir=str(tmp_path), bf16=False,
-        seed=0, warm_start_from=None)
-    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
-    trainer = XBDTrainer(args, arrays, arrays, mesh=mesh, task="hrnet")
-    trainer.train_one_epoch(0)
-    scores = trainer.evaluate_and_checkpoint(0)
-    assert np.isfinite(scores["score"])
-
-
 def test_dual_hrnet_loss_signal_is_cls_only():
     """The loc term argmaxes logits (train_dual_hrnet.py:337) — gradient-free;
     the cls CE carries the signal."""
@@ -88,7 +65,8 @@ def test_dual_hrnet_loss_signal_is_cls_only():
     assert float(jnp.abs(g2).max()) > 0.0
 
 
-def test_hrnet_trainer_smoke(tmp_path):
+@pytest.mark.parametrize("net_g", ["dual_hrnet", "dual_hrnet_fpn"])
+def test_hrnet_trainer_smoke(tmp_path, net_g):
     from dahitra_tpu.train.xbd_engine import XBDTrainer
     from dahitra_tpu.core.mesh import make_mesh
 
@@ -101,7 +79,7 @@ def test_hrnet_trainer_smoke(tmp_path):
         "lbl_msk": rng.integers(0, 4, (n, s, s)).astype(np.uint8),
     }
     args = argparse.Namespace(
-        net_G="dual_hrnet", img_size=s, batch_size=2, val_batch_size=2,
+        net_G=net_g, img_size=s, batch_size=2, val_batch_size=2,
         lr=0.0, max_epochs=1, checkpoint_dir=str(tmp_path), bf16=False,
         seed=0, warm_start_from=None)
     mesh = make_mesh(n_data=1, devices=jax.devices()[:1])

@@ -337,6 +337,18 @@ def test_dual_hrnet_forward_parity():
         np.testing.assert_allclose(np.asarray(ours[key]), r,
                                    atol=3e-4, rtol=1e-3)
 
+    # A non-FPN checkpoint must be REJECTED under --net_G dual_hrnet_fpn
+    # (silently dropping the missing fpn trees would crash later, deep in
+    # flax, with an opaque 480-vs-32 head mismatch).
+    import tempfile
+
+    from dahitra_tpu.core.torch_import import import_reference_checkpoint
+
+    with tempfile.NamedTemporaryFile(suffix=".pt") as f:
+        torch.save(net.state_dict(), f.name)
+        with pytest.raises(ValueError, match="fpn"):
+            import_reference_checkpoint(f.name, "dual_hrnet_fpn")
+
 
 def test_dual_hrnet_fpn_forward_parity():
     """The USE_FPN branch (dual_hrnet.py:634-663, :706-711). Shipped yaml
