@@ -13,6 +13,7 @@ fast. Exit code 1 if any key fails or yields non-finite output.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -20,6 +21,12 @@ import traceback
 import numpy as np
 
 import jax
+
+if os.environ.get("DAHITRA_SMOKE_CPU"):
+    # Signature/convention sweep without a chip (the env pins the TPU
+    # platform via sitecustomize, so the config update is required).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from dahitra_tpu.models import available_models, define_g
