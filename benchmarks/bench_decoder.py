@@ -18,6 +18,12 @@ input so XLA cannot hoist work out of the timing loop.
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as python benchmarks/<x>.py
+
 import time
 
 import numpy as np

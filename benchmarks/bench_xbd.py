@@ -9,6 +9,12 @@ Run on the real chip: python benchmarks/bench_xbd.py
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as python benchmarks/<x>.py
+
 import argparse
 import json
 import tempfile

@@ -20,6 +20,12 @@ Writes benchmarks/artifacts/learning_curves.json. Run on the TPU chip:
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as python benchmarks/<x>.py
+
 import argparse
 import json
 import os

@@ -13,6 +13,12 @@ fast. Exit code 1 if any key fails or yields non-finite output.
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as python benchmarks/<x>.py
+
 import os
 import sys
 import time
