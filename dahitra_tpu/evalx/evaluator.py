@@ -151,6 +151,12 @@ class CDEvaluator:
         ps_cms = []  # per-sample (B, C, C) blocks, dataset order
         sh = batch_sharding(self.mesh, spatial=False)
         grouped = group_of is not None
+        if scan and save_vis:
+            # The one-dispatch scan never materializes predictions on host,
+            # so it cannot dump vis grids; fall back to the staged per-batch
+            # path (same math, per-batch dispatches) instead of silently
+            # writing nothing.
+            scan, device_cache = False, True
         if scan:
             staged = self.stage_on_device()
             # Select full batches by the loader's batch size (not staged[0],

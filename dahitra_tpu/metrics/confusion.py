@@ -24,6 +24,17 @@ import numpy as np
 _EPS = float(np.finfo(np.float32).eps)
 
 
+def _one_hot_cm(g: jax.Array, p: jax.Array, num_classes: int) -> jax.Array:
+    """One (n_class, n_class) CM from flat int32 label/pred vectors: the
+    shared one-hot MXU contraction (gt outside [0, num_classes) dropped;
+    bf16 one-hots, fp32 accumulation — exact up to 2^24 counts/cell)."""
+    valid = ((g >= 0) & (g < num_classes)).astype(jnp.bfloat16)
+    oh_gt = jax.nn.one_hot(g, num_classes, dtype=jnp.bfloat16) * valid[:, None]
+    oh_pr = jax.nn.one_hot(p, num_classes, dtype=jnp.bfloat16)
+    return jnp.einsum("nc,nk->ck", oh_gt, oh_pr,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes",))
 def batch_confusion_matrix(pred: jax.Array, gt: jax.Array, num_classes: int) -> jax.Array:
     """Confusion matrix of one batch, rows = ground truth, cols = prediction.
@@ -51,14 +62,8 @@ def batch_confusion_matrix(pred: jax.Array, gt: jax.Array, num_classes: int) -> 
     gt = gt.reshape(k, chunk)
     pred = pred.reshape(k, chunk)
 
-    def one(g, p):
-        valid = ((g >= 0) & (g < num_classes)).astype(jnp.bfloat16)
-        oh_gt = jax.nn.one_hot(g, num_classes, dtype=jnp.bfloat16) * valid[:, None]
-        oh_pr = jax.nn.one_hot(p, num_classes, dtype=jnp.bfloat16)
-        return jnp.einsum("nc,nk->ck", oh_gt, oh_pr,
-                          preferred_element_type=jnp.float32).astype(jnp.int32)
-
-    return jnp.sum(jax.vmap(one)(gt, pred), axis=0)
+    return jnp.sum(jax.vmap(lambda g, p: _one_hot_cm(g, p, num_classes))(
+        gt, pred), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes",))
@@ -74,14 +79,7 @@ def per_sample_confusion_matrix(pred: jax.Array, gt: jax.Array,
     gt = gt.reshape(b, -1).astype(jnp.int32)
     pred = pred.reshape(b, -1).astype(jnp.int32)
 
-    def one(g, p):
-        valid = ((g >= 0) & (g < num_classes)).astype(jnp.bfloat16)
-        oh_gt = jax.nn.one_hot(g, num_classes, dtype=jnp.bfloat16) * valid[:, None]
-        oh_pr = jax.nn.one_hot(p, num_classes, dtype=jnp.bfloat16)
-        return jnp.einsum("nc,nk->ck", oh_gt, oh_pr,
-                          preferred_element_type=jnp.float32).astype(jnp.int32)
-
-    return jax.vmap(one)(gt, pred)
+    return jax.vmap(lambda g, p: _one_hot_cm(g, p, num_classes))(gt, pred)
 
 
 def cm2f1(cm: np.ndarray) -> float:

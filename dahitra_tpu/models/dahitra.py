@@ -36,7 +36,7 @@ networks.py:1221-1238; all widths are 32.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -54,6 +54,13 @@ from dahitra_tpu.nn.blocks import (
 from dahitra_tpu.nn.resnet import ResNetTrunk
 
 Dtype = Any
+
+# Read once at import (a per-trace os.environ read goes stale under jit
+# caching; see nn/blocks.py). DAHITRA_PAIR_BN=0 restores the two-pass
+# per-date trunk (the exact-equivalence reference for tests/test_pair_bn).
+import os as _os  # noqa: E402
+
+_PAIR_BN_DEFAULT = _os.environ.get("DAHITRA_PAIR_BN", "1") != "0"
 
 
 class TransDiffModule(nn.Module):
@@ -161,6 +168,10 @@ class DAHiTraUNet(nn.Module):
     # xBD copy also comments out the per-date decoder passes of V3
     # (model_transformer_encoding.py:394-396), so it uses decode_dates=False.
     pos_coarsest_only: bool = False
+    # None = env default (DAHITRA_PAIR_BN, read at import). False restores
+    # the reference's two-pass per-date trunk in train mode — the exact
+    # equivalence baseline PairBatchNorm is tested against.
+    pair_bn: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -225,8 +236,7 @@ class DAHiTraUNet(nn.Module):
         if x2 is None:
             # xBD 6-channel convention: x1 = cat(pre, post) on channels.
             x1, x2 = x1[..., :3], x1[..., 3:]
-        import os as _os
-        pair_ok = _os.environ.get("DAHITRA_PAIR_BN", "1") != "0"
+        pair_ok = _PAIR_BN_DEFAULT if self.pair_bn is None else self.pair_bn
         if train and pair_ok:
             # BN batch statistics are per-date in the reference (each
             # forward_single is a separate BN pass). PairBatchNorm computes

@@ -16,6 +16,7 @@ Behavioral parity notes (reference /root/reference/models/help_funcs.py):
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -23,6 +24,13 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+# Feature-gate env vars are read ONCE at import time: reading os.environ
+# inside a traced __call__ looks configurable but goes stale the moment a
+# jit cache exists (flipping the var mid-process silently has no effect),
+# so the value is pinned here where that is explicit. Prefer the module
+# fields (TransformerDecoder.fast_vjp / .pallas) for programmatic control.
+_FAST_VJP_DEFAULT = os.environ.get("DAHITRA_FAST_VJP", "1") != "0"
 
 
 def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
@@ -475,9 +483,7 @@ class TransformerDecoder(nn.Module):
             fn = make_fused_decoder(self.depth, self.heads, tile, self.dtype)
             return fn(x, m, self._packed_params()).astype(x.dtype)
         n_kv = m.shape[-2]
-        import os as _os
-        use_fast = (self.fast_vjp is not False
-                    and _os.environ.get("DAHITRA_FAST_VJP", "1") != "0")
+        use_fast = self.fast_vjp is not False and _FAST_VJP_DEFAULT
         use_fast = (use_fast and not self.is_initializing()
                     and self.softmax
                     and (deterministic or self.dropout == 0.0)
@@ -489,6 +495,13 @@ class TransformerDecoder(nn.Module):
             # kernels degrade ~2x (see decoder_vjp.decoder_stack_auto).
             from dahitra_tpu.nn.decoder_vjp import decoder_stack_auto
 
+            # Deliberately returns self.dtype (bf16 in bf16 mode) WITHOUT
+            # casting back to x.dtype: the plain path's residual stream is
+            # silently fp32 only because the fp32 decoder pos-embedding add
+            # promotes it; keeping the stream and output bf16 is measured
+            # optimization history (ledger items 5/7 — it also keeps the
+            # top-down head's backward bf16). Forward/grad parity at bf16
+            # tolerances is pinned by tests/test_decoder_vjp.py.
             return decoder_stack_auto(x.astype(self.dtype),
                                       m.astype(self.dtype),
                                       self._packed_params(), self.depth,

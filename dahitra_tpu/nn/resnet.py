@@ -98,14 +98,18 @@ class PairBatchNorm(nn.Module):
         return ((xf - mean) * mul + bias).astype(self.dtype)
 
 
+import os as _os
+
+# Read once at import (per-trace env reads go stale under jit caching;
+# see nn/blocks.py).
+_BF16_TRUNK = _os.environ.get("DAHITRA_BF16_TRUNK", "1") != "0"
+
+
 def _bn_out_dtype(dtype):
     """BN output dtype for the trunk: the conv compute dtype (bf16 halves
     inter-block traffic; fp32 models unchanged). DAHITRA_BF16_TRUNK=0
-    restores fp32 BN outputs everywhere."""
-    import os
-    if os.environ.get("DAHITRA_BF16_TRUNK", "1") == "0":
-        return jnp.float32
-    return dtype
+    (read at import) restores fp32 BN outputs everywhere."""
+    return dtype if _BF16_TRUNK else jnp.float32
 
 
 class BasicBlock(nn.Module):

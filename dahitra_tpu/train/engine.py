@@ -296,7 +296,26 @@ class CDTrainer:
         profile_dir = getattr(self.args, "profile_dir", None)
         if profile_dir and epoch == 0:
             jax.profiler.start_trace(profile_dir)
-        cms, losses, n_img = [], [], 0
+        # Running totals: the confusion matrix accumulates ON DEVICE (one
+        # lazy add per batch) and per-batch losses stay as device scalars,
+        # converted to host floats exactly once each — progress lines must
+        # not re-reduce or re-fetch history (an earlier sum(cms) +
+        # [float(l) for l in losses] per line was O(n^2) dispatches over
+        # the ~30 ms-RPC tunnel).
+        cm_dev, losses, n_img = None, [], 0
+        loss_sum, loss_n, loss_idx = 0.0, 0, 0
+
+        def running_loss():
+            """Per-BATCH mean loss so far; each entry (a per-batch scalar or
+            a per-chunk array of per-batch losses) is fetched exactly once."""
+            nonlocal loss_sum, loss_n, loss_idx
+            while loss_idx < len(losses):
+                l = np.asarray(losses[loss_idx], np.float32)
+                loss_sum += float(l.sum())
+                loss_n += l.size
+                loss_idx += 1
+            return loss_sum / max(loss_n, 1)
+
         timer = Timer()
         scan_ok = (getattr(self.args, "scan_epoch", False)
                    and self.batch_size % self.n_devices == 0)
@@ -345,15 +364,17 @@ class CDTrainer:
                 self.state, loss_arr, total = self._train_epoch_scan(
                     self.state, a_f, b_f, l_f, perm_dev[start:end],
                     keys[start:end])
-                cms.append(total)
-                losses.append(jnp.mean(loss_arr))
+                cm_dev = total if cm_dev is None else cm_dev + total
+                # Keep the per-batch loss array: a flat mean over batches is
+                # exact even when the last chunk is ragged (a mean of chunk
+                # means would overweight its batches).
+                losses.append(loss_arr)
                 done = end
                 n_img = done * bs
                 if end < n_batches:  # interleaved progress (end line follows)
-                    cm_run = np.asarray(sum(cms))
                     progress_line(n_img, done, n_batches,
-                                  cm2score(cm_run)["mf1"],
-                                  float(np.mean([float(l) for l in losses])))
+                                  cm2score(np.asarray(cm_dev))["mf1"],
+                                  running_loss())
         else:
             n_batches = len(self.train_loader)
             vis_every = int(getattr(self.args, "vis_train_every", 0) or 0)
@@ -362,27 +383,27 @@ class CDTrainer:
                 self.key, sub = jax.random.split(self.key)
                 self.state, loss, cm = self._train_step(
                     self.state, d["a"], d["b"], d["label"], sub)
-                cms.append(cm)
+                cm_dev = cm if cm_dev is None else cm_dev + cm
                 losses.append(loss)
                 n_img += len(batch["a"])
                 if log_every and (bi + 1) % log_every == 0:
-                    cm_run = np.asarray(sum(cms))
                     progress_line(n_img, bi + 1, n_batches,
-                                  cm2score(cm_run)["mf1"],
-                                  float(np.mean([float(l) for l in losses])))
+                                  cm2score(np.asarray(cm_dev))["mf1"],
+                                  running_loss())
                 if vis_every and (bi + 1) % vis_every == 0:
                     self._save_train_vis(batch, epoch, bi + 1)
         if profile_dir and epoch == 0:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
             self.logger.write(f"profiler trace written to {profile_dir}\n")
-        total_cm = np.asarray(sum(cms)) if cms else np.zeros((self.n_class,) * 2)
+        total_cm = (np.asarray(cm_dev) if cm_dev is not None
+                    else np.zeros((self.n_class,) * 2))
         scores = cm2score(total_cm)
         imps = timer.images_per_sec(n_img)
         self.logger.write(
             f"Is_training: True. Epoch {epoch} / {self.max_epochs - 1}, "
             f"epoch_mF1= {scores['mf1']:.5f}, imps: {imps:.2f}, "
-            f"G_loss: {float(np.mean([float(l) for l in losses])):.5f}\n")
+            f"G_loss: {running_loss():.5f}\n")
         self.train_acc_curve.append(scores["mf1"])
         np.save(os.path.join(self.checkpoint_dir, "train_acc.npy"),
                 np.asarray(self.train_acc_curve, np.float32))

@@ -104,10 +104,20 @@ class XBDTrainer:
         self.state = jax.device_put(TrainState.create(variables, self.tx),
                                     replicated_sharding(self.mesh))
 
+        # Training batches shard over the mesh 'data' axis and the xBD
+        # losses reduce over the whole batch with no ignore value — pad
+        # filler would silently enter gradients and BN statistics. With
+        # drop_last every batch is full, so requiring a divisible batch
+        # size removes the only case padding could trigger.
+        if self.n_devices > 1 and args.batch_size % self.n_devices:
+            raise ValueError(
+                f"--batch_size {args.batch_size} must be a multiple of the "
+                f"mesh data axis ({self.n_devices}) for xBD training: "
+                f"pad filler has no ignore value in the ComboLoss recipes "
+                f"and would skew gradients")
         self.train_loader = BatchLoader(
             train_arrays, args.batch_size, shuffle=True,
-            seed=getattr(args, "seed", 0), drop_last=True,
-            pad_to_multiple=self.n_devices if self.n_devices > 1 else None)
+            seed=getattr(args, "seed", 0), drop_last=True)
         # Val batches are padded to the mesh 'data' axis too (``_put`` shards
         # every batch): without it a ragged or batch-1 val batch on a
         # multi-device mesh fails to shard. Padding carries a per-sample

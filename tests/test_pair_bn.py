@@ -70,30 +70,34 @@ def test_pair_true_equals_two_sequential_passes():
 
 
 @pytest.mark.slow
-def test_dahitra_pair_train_step_equals_two_pass(monkeypatch, tmp_path):
+def test_dahitra_pair_train_step_equals_two_pass(tmp_path):
     """Full DAHiTra train forward+grad: pair-BN stacked path vs the
-    two-pass path — same loss, same grads, same new batch_stats."""
-    from dahitra_tpu.models import define_g
+    two-pass path — same loss, same grads, same new batch_stats. The paths
+    are selected via the model's ``pair_bn`` field (flipping the env var
+    mid-process is ineffective: it is read once at import)."""
+    from dahitra_tpu.models.dahitra import DAHiTraUNet
     from dahitra_tpu.losses.cd import levir_train_loss
 
-    model = define_g("newUNetTrans", img_size=64)
     key = jax.random.PRNGKey(0)
     a = _rand((2, 64, 64, 3), 20)
     b = _rand((2, 64, 64, 3), 21)
     lbl = jnp.asarray(np.random.default_rng(5).integers(0, 2, (2, 64, 64)))
+    models = {"pair": DAHiTraUNet(img_size=64, pair_bn=True),
+              "twopass": DAHiTraUNet(img_size=64, pair_bn=False)}
     variables = jax.jit(
-        lambda k: model.init({"params": k, "dropout": k}, a, b, True))(key)
-
-    def loss_fn(params, bs):
-        logits, mut = model.apply(
-            {"params": params, "batch_stats": bs}, a, b, True,
-            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
-        return levir_train_loss(logits.astype(jnp.float32), lbl, 2), \
-            mut["batch_stats"]
+        lambda k: models["pair"].init({"params": k, "dropout": k}, a, b,
+                                      True))(key)
 
     outs = {}
-    for tag, env in (("pair", "1"), ("twopass", "0")):
-        monkeypatch.setenv("DAHITRA_PAIR_BN", env)
+    for tag, model in models.items():
+        def loss_fn(params, bs, model=model):
+            logits, mut = model.apply(
+                {"params": params, "batch_stats": bs}, a, b, True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return levir_train_loss(logits.astype(jnp.float32), lbl, 2), \
+                mut["batch_stats"]
+
         (loss, new_bs), grads = jax.jit(
             jax.value_and_grad(loss_fn, has_aux=True))(
                 variables["params"], variables["batch_stats"])
