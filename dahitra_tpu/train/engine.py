@@ -60,6 +60,13 @@ class CDTrainer:
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
+        # Batches and the staged dataset shard over the mesh 'data' axis
+        # only ('space' shards image rows), so every batch/shard-count
+        # computation below uses the data-axis size — using the TOTAL
+        # device count on a data x space mesh would under-sample each data
+        # shard in the sharded shuffle (only the first data/total fraction
+        # of every shard would ever be gathered).
+        self.n_data = int(self.mesh.shape["data"])
 
         self.model = define_g(args.net_G, dtype=self.dtype,
                               img_size=args.img_size)
@@ -88,10 +95,10 @@ class CDTrainer:
         self.train_loader = BatchLoader(
             train_arrays, args.batch_size, shuffle=True,
             seed=getattr(args, "seed", 0),
-            pad_to_multiple=self.n_devices if self.n_devices > 1 else None)
+            pad_to_multiple=self.n_data if self.n_data > 1 else None)
         self.val_loader = BatchLoader(
             val_arrays, args.batch_size, shuffle=False,
-            pad_to_multiple=self.n_devices if self.n_devices > 1 else None)
+            pad_to_multiple=self.n_data if self.n_data > 1 else None)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._train_epoch_scan = jax.jit(self._train_epoch_scan_impl,
@@ -164,7 +171,7 @@ class CDTrainer:
         the mesh 'data' axis and ``idx`` carries SHARD-LOCAL indices (also
         sharded over 'data'), so each device gathers only from its own HBM
         shard — no cross-chip collective in the hot loop."""
-        if self.n_devices == 1:
+        if self.n_data == 1:
             return jnp.take(full, idx, axis=0)
         try:
             from jax import shard_map  # jax >= 0.8
@@ -206,7 +213,7 @@ class CDTrainer:
         drop_last semantics the scan path already applies to batches)."""
         sh = batch_sharding(self.mesh, spatial=False)
         n = len(self._train_arrays["a"])
-        d = self.n_devices
+        d = self.n_data
         n_use = (n // d) * d
         self._staged_train = tuple(
             jax.device_put(self._train_arrays[k][:n_use], sh)
@@ -225,7 +232,7 @@ class CDTrainer:
         here."""
         rng = np.random.default_rng(
             getattr(self.args, "seed", 0) * 100003 + epoch)
-        d = self.n_devices
+        d = self.n_data
         if d == 1:
             return rng.permutation(self._staged_n)[: n_batches * bs].reshape(
                 n_batches, bs)
@@ -318,7 +325,7 @@ class CDTrainer:
 
         timer = Timer()
         scan_ok = (getattr(self.args, "scan_epoch", False)
-                   and self.batch_size % self.n_devices == 0)
+                   and self.batch_size % self.n_data == 0)
         # In-epoch observability (reference models/trainer.py:136-189 logs
         # imps/est-hours/running-mF1 every 100 batches): per-batch path logs
         # every ``log_every`` batches; the scan path splits the epoch into
@@ -353,7 +360,7 @@ class CDTrainer:
             keys = jax.random.split(sub, n_batches)
             a_f, b_f, l_f = self._staged_train
             perm_dev = jnp.asarray(perm)
-            if self.n_devices > 1:
+            if self.n_data > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 perm_dev = jax.device_put(
                     perm_dev, NamedSharding(self.mesh, P(None, "data")))

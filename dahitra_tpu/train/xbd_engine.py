@@ -71,6 +71,9 @@ class XBDTrainer:
         self.dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
+        # Batches shard over the mesh 'data' axis only ('space' shards
+        # image rows) — all batch-divisibility math uses the data size.
+        self.n_data = int(self.mesh.shape["data"])
 
         self.model = define_g(args.net_G, dtype=self.dtype,
                               img_size=args.img_size)
@@ -109,10 +112,10 @@ class XBDTrainer:
         # filler would silently enter gradients and BN statistics. With
         # drop_last every batch is full, so requiring a divisible batch
         # size removes the only case padding could trigger.
-        if self.n_devices > 1 and args.batch_size % self.n_devices:
+        if self.n_data > 1 and args.batch_size % self.n_data:
             raise ValueError(
                 f"--batch_size {args.batch_size} must be a multiple of the "
-                f"mesh data axis ({self.n_devices}) for xBD training: "
+                f"mesh data axis ({self.n_data}) for xBD training: "
                 f"pad filler has no ignore value in the ComboLoss recipes "
                 f"and would skew gradients")
         self.train_loader = BatchLoader(
@@ -125,8 +128,8 @@ class XBDTrainer:
         self.val_loader = BatchLoader(val_arrays, args.val_batch_size
                                       if hasattr(args, "val_batch_size")
                                       else args.batch_size, shuffle=False,
-                                      pad_to_multiple=self.n_devices
-                                      if self.n_devices > 1 else None)
+                                      pad_to_multiple=self.n_data
+                                      if self.n_data > 1 else None)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._train_chunk_scan = jax.jit(self._train_chunk_scan_impl,
@@ -330,7 +333,7 @@ class XBDTrainer:
             opt_state=set_learning_rate(self.state.opt_state, lr))
         losses = []
         scan_ok = (getattr(self.args, "scan_epoch", False)
-                   and self.args.batch_size % self.n_devices == 0)
+                   and self.args.batch_size % self.n_data == 0)
         if scan_ok:
             import time as _time
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -255,3 +255,36 @@ def test_xbd_scan_epoch_matches_loop(tmp_path):
                     jax.tree.leaves(tr2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1.5 * len(losses) * 1e-4)
+
+
+@pytest.mark.slow
+def test_scan_epoch_covers_all_shards_on_mixed_mesh(tmp_path):
+    """Regression: on a data x space mesh the staged dataset shards over
+    'data' only, so the sharded-shuffle math must use the data-axis size —
+    using the TOTAL device count made each shard's local permutation range
+    over half its rows (the other half was never sampled) on a 4x2 mesh."""
+    from dahitra_tpu.core.mesh import make_mesh
+    from dahitra_tpu.train.engine import CDTrainer
+    from tests.test_train_smoke import make_args, synthetic_arrays
+
+    mesh = make_mesh(n_data=4, n_space=2)
+    args = make_args(tmp_path, batch_size=8, img_size=32,
+                     net_G="base_resnet18")
+    args.scan_epoch = True
+    arrays = synthetic_arrays(32, size=32)
+    tr = CDTrainer(args, arrays, arrays, mesh=mesh)
+    tr._stage_train()
+    assert tr.n_data == 4
+    n_local = tr._staged_n // tr.n_data  # 8 rows per data shard
+    n_batches = tr._staged_n // args.batch_size
+    per_dev = args.batch_size // tr.n_data
+    perm = tr._epoch_perm(0, n_batches, args.batch_size)
+    assert perm.shape == (n_batches, args.batch_size)
+    # Every data shard's column block must cover its FULL local range over
+    # the epoch (4 batches x 2 per-device rows = all 8 local indices).
+    for dshard in range(tr.n_data):
+        block = perm[:, dshard * per_dev:(dshard + 1) * per_dev]
+        assert sorted(block.ravel().tolist()) == list(range(n_local))
+    # And the scan epoch actually executes on the mixed mesh.
+    scores = tr.train_one_epoch(0)
+    assert np.isfinite(scores["mf1"])
