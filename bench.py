@@ -24,6 +24,8 @@ dice+focal loss, backward, AdamW update, CM) with the TrainState as carry.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -39,6 +41,56 @@ EVAL_BATCHES = 16
 TRAIN_BATCH = 8  # run_cd.sh recipe batch size
 TRAIN_STEPS = 32
 REPEATS = 3
+
+# Supervisor settings: a transient tunnel-relay blip must not zero a round's
+# bench artifact (round 3 lost its BENCH to an rc=1 backend-init failure), so
+# the __main__ path probes backend init in a THROWAWAY subprocess with
+# backoff before running the measurement in a fresh process. Fresh processes
+# matter: jax memoizes backend-init failures, so in-process retry can't heal.
+PROBE_BACKOFFS_S = (0, 15, 30, 60, 120, 240)
+INNER_ATTEMPTS = 2
+_INNER_ENV = "DAHITRA_BENCH_INNER"
+
+
+def _probe_backend_ok(timeout_s: float = 300.0) -> bool:
+    """True iff a fresh python process can init the jax backend + run a op."""
+    code = ("import jax, numpy as np; "
+            "np.asarray(jax.numpy.ones((8, 8)) @ jax.numpy.ones((8, 8)))")
+    try:
+        rc = subprocess.run([sys.executable, "-c", code],
+                            timeout=timeout_s, capture_output=True).returncode
+        return rc == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def supervise() -> int:
+    """Probe backend init with backoff, then run the bench in a fresh
+    process (retrying once more on failure). Returns the exit code."""
+    import os
+
+    for i, pause in enumerate(PROBE_BACKOFFS_S):
+        if pause:
+            print(f"# backend probe retry in {pause}s", file=sys.stderr)
+            time.sleep(pause)
+        if _probe_backend_ok():
+            break
+        print(f"# backend probe {i + 1}/{len(PROBE_BACKOFFS_S)} failed",
+              file=sys.stderr)
+    else:
+        print(json.dumps({"metric": "levir_eval_throughput_dahitra_256px_bf16",
+                          "value": 0.0, "unit": "image-pairs/sec/chip",
+                          "vs_baseline": 0.0,
+                          "error": "backend init failed after all retries"}))
+        return 1
+    env = dict(os.environ, **{_INNER_ENV: "1"})
+    for attempt in range(INNER_ATTEMPTS):
+        rc = subprocess.run([sys.executable, __file__], env=env).returncode
+        if rc == 0:
+            return 0
+        print(f"# inner bench attempt {attempt + 1} rc={rc}", file=sys.stderr)
+        time.sleep(30)
+    return rc
 
 
 def _timed(fn, *args):
@@ -151,8 +203,34 @@ def bench_train(batch=TRAIN_BATCH):
     return imps, dt, n_batches
 
 
+def bench_canary():
+    """Fixed chip-speed canary: a 64-iter jitted scan of 2048^3 bf16 matmuls.
+
+    The tunneled chip's effective throughput drifts ~2x between processes
+    (docs/ARCHITECTURE.md round-3 note), so every BENCH_rN records this
+    constant kernel's achieved TFLOP/s measured in the SAME process as the
+    headline metrics. Cross-round comparisons divide by the canary ratio to
+    separate framework regressions from chip/tunnel drift. 64 iterations
+    amortize the ~30 ms tunnel dispatch floor to <0.5 ms/iter of bias.
+    """
+    n, iters = 2048, 64
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            return c @ x, None
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    x = jnp.eye(n, dtype=jnp.bfloat16) * 0.999
+    dt = _timed(run, x)
+    return 2.0 * n * n * n * iters / dt / 1e12
+
+
 def main():
     from dahitra_tpu.models import define_g
+
+    canary_tflops = bench_canary()
 
     model = define_g("newUNetTrans", dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
@@ -193,8 +271,16 @@ def main():
         "train_b64_vs_baseline": round(train64_imps / BASELINE_IMPS, 2),
         "train_b128_imps": round(train128_imps, 2),
         "train_b128_vs_baseline": round(train128_imps / BASELINE_IMPS, 2),
+        "canary_tflops": round(canary_tflops, 2),
+        "canary_pct_of_ceiling": round(
+            100 * canary_tflops / CHIP_BF16_TFLOPS, 2),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get(_INNER_ENV):
+        main()
+    else:
+        sys.exit(supervise())

@@ -43,6 +43,11 @@ def main(argv=None):
     parser.add_argument("--warm_start_from", default=None,
                         help="checkpoint dir to size-filter weights from")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--elastic", action="store_true",
+                        help="UNet-transformer recipe's per-date elastic "
+                             "jitter, iaa.ElasticTransformation(alpha=(0.25,"
+                             "1.2), sigma=0.2) at p~0.017 "
+                             "(train_unettransformer.py:93,247-253)")
     parser.add_argument("--scan_epoch", action="store_true",
                         help="one-dispatch chunked lax.scan training epochs")
     parser.add_argument("--scan_chunk_batches", default=0, type=int,

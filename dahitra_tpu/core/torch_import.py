@@ -89,6 +89,31 @@ def convert_resnet_trunk(sd: Dict[str, np.ndarray], prefix: str = ""
     return params, stats
 
 
+def import_torchvision_trunk(path: str) -> dict:
+    """Raw torchvision resnet state_dict (.pth) -> trunk-only variables.
+
+    The reference's xBD zoo ctors build their encoders with
+    ``pretrained=True`` (xBD_code/zoo/models.py:586-597) and that ImageNet
+    warm start survives the ctor kaiming init (it only re-inits the decoder
+    convs, :638-646) — it is load-bearing for the published xBD numbers.
+    This converts the raw torchvision file ONCE into a checkpoint whose
+    tree places the trunk at params/core/resnet — the subtree every
+    Res34_Unet variant here uses (models/res34_unet.py) — so
+    ``xbd_train --warm_start_from`` size-filters it in exactly like the
+    reference's state_dict copy (train.py:446-462): trunk leaves match and
+    load, everything else keeps its fresh init.
+    """
+    sd = state_dict_to_numpy(path)
+    if "conv1.weight" not in sd or "layer1.0.conv1.weight" not in sd:
+        raise ValueError(
+            "not a torchvision resnet state_dict (expected conv1.weight / "
+            "layer1.*.conv1.weight keys); for whole-model reference "
+            "checkpoints use --net_G instead of --trunk_only")
+    p, s = convert_resnet_trunk(sd)
+    return {"params": {"core": {"resnet": p}},
+            "batch_stats": {"core": {"resnet": s}}}
+
+
 def _convert_transformer(sd, prefix: str, depth: int, params: dict,
                          dst_prefix: Tuple[str, ...]):
     """reference help_funcs Transformer -> our TransformerEncoder names."""

@@ -74,8 +74,9 @@ def _color_jitter(img: jax.Array, key: jax.Array) -> jax.Array:
     return jnp.clip(img, 0.0, 1.0)
 
 
-def _augment_one(pre, post, msk, lbl, key):
-    k_apply, k_h, k_v, k_rc, k_xy, k_cj, k_cjk = jax.random.split(key, 7)
+def _augment_one(pre, post, msk, lbl, key, elastic=False):
+    (k_apply, k_h, k_v, k_rc, k_xy, k_cj, k_cjk,
+     k_el_pre, k_el_post) = jax.random.split(key, 9)
     apply_block = jax.random.bernoulli(k_apply, 0.3)
 
     do_h = apply_block & jax.random.bernoulli(k_h, 0.7)
@@ -101,12 +102,20 @@ def _augment_one(pre, post, msk, lbl, key):
 
     cj = lambda img: jnp.where(do_cj, _color_jitter(img, k_cjk), img)
     pre, post = cj(pre), cj(post)
+
+    if elastic:
+        # UNet-transformer recipe only (train_unettransformer.py:247-253):
+        # independent p~0.017 elastic jitter per date, images only, applied
+        # after the photometric ops and OUTSIDE the p-0.3 block.
+        from dahitra_tpu.data.xbd_cd_augment import elastic_gated
+        pre = elastic_gated(pre, k_el_pre)
+        post = elastic_gated(post, k_el_post)
     return pre, post, msk, lbl
 
 
-@functools.partial(jax.jit, static_argnames=("train", "dtype"))
+@functools.partial(jax.jit, static_argnames=("train", "dtype", "elastic"))
 def augment_xbd(pre_u8, post_u8, msk_u8, lbl_u8, key, train: bool = True,
-                dtype=jnp.float32):
+                dtype=jnp.float32, elastic: bool = False):
     """(B,H,W,3) uint8 pre/post + (B,H,W,5) masks + (B,H,W) labels ->
     normalized 6-channel input + float masks + int labels."""
     pre = pre_u8.astype(jnp.float32) / 255.0
@@ -115,7 +124,8 @@ def augment_xbd(pre_u8, post_u8, msk_u8, lbl_u8, key, train: bool = True,
     lbl = lbl_u8.astype(jnp.int32)
     if train:
         keys = jax.random.split(key, pre.shape[0])
-        pre, post, msk, lbl = jax.vmap(_augment_one)(pre, post, msk, lbl, keys)
+        fn = functools.partial(_augment_one, elastic=elastic)
+        pre, post, msk, lbl = jax.vmap(fn)(pre, post, msk, lbl, keys)
     # x/127 - 1 on the original 0..255 scale == (x255*255)/127 - 1.
     img6 = jnp.concatenate([pre, post], axis=-1) * (255.0 / 127.0) - 1.0
     return img6.astype(dtype), msk, lbl

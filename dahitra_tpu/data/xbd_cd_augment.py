@@ -25,7 +25,14 @@ reference's probability structure:
     neighboring tile CDFs. Divergence: chroma is preserved by scaling RGB
     with the L gain instead of a full LAB round trip.
 
-All ops take float images on the 0..255 scale (NHWC) and a PRNG key.
+Also hosts ``elastic_transform`` — the UNet-transformer recipe's
+iaa.ElasticTransformation(alpha=(0.25, 1.2), sigma=0.2) from
+xBD_code/train_unettransformer.py:93,247-253 (the only reference
+augmentation op living outside datasets/data_utils.py) — wired into
+``augment_xbd`` behind the ``elastic`` flag.
+
+All ops take float images (NHWC; 0..255 or 0..1 — elastic is
+scale-invariant) and a PRNG key.
 """
 from __future__ import annotations
 
@@ -175,6 +182,70 @@ def clahe(img, clip_limit: float = 2.0, tiles: int = 5):
              + wy * wx * look(y1, x1))
     gain = new_l / jnp.maximum(lum, 1.0)
     return jnp.clip(img * gain[..., None], 0.0, 255.0)
+
+
+def _gaussian_smooth_const0(field, sigma: float):
+    """scipy.ndimage.gaussian_filter(mode="constant", cval=0) on a (H, W)
+    field — the smoothing the classic Simard/imgaug elastic recipe applies
+    to its displacement noise. Separable correlation with the scipy kernel
+    (radius = int(truncate*sigma + 0.5), truncate 4.0), zero padding."""
+    radius = int(4.0 * sigma + 0.5)
+    if radius < 1:
+        return field
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+
+    def smooth_axis(a, axis):
+        a = jnp.moveaxis(a, axis, -1)
+        n = a.shape[-1]
+        ap = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(radius, radius)])
+        out = sum(k[i] * ap[..., i:i + n] for i in range(2 * radius + 1))
+        return jnp.moveaxis(out, -1, axis)
+
+    return smooth_axis(smooth_axis(field, 0), 1)
+
+
+def _bilinear_sample_cval0(img, rows, cols):
+    """Bilinear gather with scipy map_coordinates(order=1, mode="constant",
+    cval=0) border semantics: any coordinate outside [0, n-1] on either
+    axis yields cval outright (scipy does NOT blend with cval)."""
+    h, w = img.shape[0], img.shape[1]
+    inside = ((rows >= 0) & (rows <= h - 1)
+              & (cols >= 0) & (cols <= w - 1))[..., None]
+    return jnp.where(inside, _bilinear_sample(img, rows, cols), 0.0)
+
+
+def elastic_transform(img, key, alpha_range=(0.25, 1.2), sigma: float = 0.2):
+    """iaa.ElasticTransformation(alpha=(0.25, 1.2), sigma=0.2) parity
+    (xBD_code/train_unettransformer.py:93): per-axis displacement fields
+    U(-1, 1), Gaussian-smoothed (constant-0 border) with the given sigma,
+    scaled by alpha ~ U(alpha_range); the output at (y, x) samples the
+    input at (y + dy, x + dx). Image-only — the reference never moves the
+    masks (:249-253). Divergence: bilinear sampling where imgaug defaults
+    to cubic — displacements are sub-pixel (alpha <= 1.2) so the
+    interpolation-order difference is below the uint8 quantization the
+    reference's pipeline applies right after."""
+    h, w = img.shape[0], img.shape[1]
+    ka, kx, ky = jax.random.split(key, 3)
+    alpha = jax.random.uniform(ka, (), minval=alpha_range[0],
+                               maxval=alpha_range[1])
+    dx = _gaussian_smooth_const0(
+        jax.random.uniform(kx, (h, w)) * 2.0 - 1.0, sigma) * alpha
+    dy = _gaussian_smooth_const0(
+        jax.random.uniform(ky, (h, w)) * 2.0 - 1.0, sigma) * alpha
+    jj, ii = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
+    return _bilinear_sample_cval0(img, ii + dy, jj + dx)
+
+
+def elastic_gated(img, key, threshold: float = 0.983):
+    """The reference's per-date probability draw: apply elastic iff
+    random() > 0.983 (train_unettransformer.py:247-253), independently per
+    image. Always computed under jit; jnp.where selects."""
+    kg, ke = jax.random.split(key)
+    out = elastic_transform(img, ke)
+    return jnp.where(jax.random.uniform(kg, ()) > threshold, out, img)
 
 
 def photometric_tree(img, key):

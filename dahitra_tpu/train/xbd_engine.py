@@ -68,6 +68,9 @@ class XBDTrainer:
         self.checkpoint_dir = args.checkpoint_dir
         self.max_epochs = args.max_epochs
         self.thr = getattr(args, "loc_thr", 0.3)
+        # UNet-transformer recipe's elastic jitter (train_unettransformer.py
+        # :93,247-253); off for every other reference recipe.
+        self.elastic = bool(getattr(args, "elastic", False))
         self.dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
@@ -211,7 +214,7 @@ class XBDTrainer:
     def _train_step_impl(self, state: TrainState, pre, post, msk, lbl, key):
         key, drop_key = jax.random.split(key)
         img6, masks, _ = augment_xbd(pre, post, msk, lbl, key, train=True,
-                                     dtype=self.dtype)
+                                     dtype=self.dtype, elastic=self.elastic)
         if self.task == "loc":
             img6 = img6[..., :3]
 
@@ -481,7 +484,7 @@ class GANTrainer(XBDTrainer):
                        update_disc: bool = False):
         key, drop_key = jax.random.split(key)
         img6, masks, _ = augment_xbd(pre, post, msk, lbl, key, train=True,
-                                     dtype=self.dtype)
+                                     dtype=self.dtype, elastic=self.elastic)
 
         # Discriminator step (every 8 iters in the reference).
         if update_disc:

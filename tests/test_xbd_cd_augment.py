@@ -97,3 +97,105 @@ def test_batched_entry_point_runs():
     ao, bo, lo = augment_pairs_xbd_cd(jnp.array(a), jnp.array(b),
                                       jnp.array(lbl), jax.random.PRNGKey(0))
     assert ao.shape == (2, 32, 32, 3) and lo.dtype == jnp.int32
+
+
+# ---------------- elastic transformation ----------------
+# Oracle: the classic Simard/imgaug elastic recipe implemented with scipy —
+# iaa.ElasticTransformation(alpha, sigma) generates per-axis U(-1,1) noise,
+# gaussian_filter(mode="constant")s it, scales by alpha, and
+# map_coordinates the image at (y+dy, x+dx). We pin our jit op against the
+# scipy pipeline run on the SAME displacement fields (order=1; the imgaug
+# default cubic differs sub-quantization at alpha <= 1.2 — see docstring).
+
+
+def test_gaussian_smooth_matches_scipy():
+    from scipy import ndimage
+
+    from dahitra_tpu.data.xbd_cd_augment import _gaussian_smooth_const0
+
+    rng = np.random.default_rng(3)
+    field = rng.uniform(-1, 1, (31, 37)).astype(np.float32)
+    for sigma in (0.2, 0.7, 1.5):
+        want = ndimage.gaussian_filter(field, sigma, mode="constant", cval=0)
+        got = np.asarray(_gaussian_smooth_const0(jnp.array(field), sigma))
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_bilinear_cval0_matches_scipy_map_coordinates():
+    from scipy import ndimage
+
+    from dahitra_tpu.data.xbd_cd_augment import _bilinear_sample_cval0
+
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 255, (20, 24, 3)).astype(np.float32)
+    # displacements straddling the borders to exercise the cval=0 path
+    rows = rng.uniform(-2, 21.5, (20, 24)).astype(np.float32)
+    cols = rng.uniform(-2, 25.5, (20, 24)).astype(np.float32)
+    got = np.asarray(_bilinear_sample_cval0(
+        jnp.array(img), jnp.array(rows), jnp.array(cols)))
+    for c in range(3):
+        want = ndimage.map_coordinates(img[..., c], [rows, cols], order=1,
+                                       mode="constant", cval=0.0)
+        np.testing.assert_allclose(got[..., c], want, rtol=0, atol=1e-3)
+
+
+def test_elastic_transform_matches_scipy_pipeline():
+    """End-to-end: rebuild elastic_transform's own PRNG draws in numpy and
+    run the scipy oracle pipeline on them (train_unettransformer.py:93)."""
+    from scipy import ndimage
+
+    from dahitra_tpu.data.xbd_cd_augment import elastic_transform
+
+    h, w = 33, 29
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(42)
+    got = np.asarray(elastic_transform(jnp.array(img), key))
+
+    ka, kx, ky = jax.random.split(key, 3)
+    alpha = float(jax.random.uniform(ka, (), minval=0.25, maxval=1.2))
+    nx = np.asarray(jax.random.uniform(kx, (h, w))) * 2.0 - 1.0
+    ny = np.asarray(jax.random.uniform(ky, (h, w))) * 2.0 - 1.0
+    dx = ndimage.gaussian_filter(nx, 0.2, mode="constant", cval=0) * alpha
+    dy = ndimage.gaussian_filter(ny, 0.2, mode="constant", cval=0) * alpha
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    want = np.stack([
+        ndimage.map_coordinates(img[..., c], [ii + dy, jj + dx], order=1,
+                                mode="constant", cval=0.0)
+        for c in range(3)], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-2)
+    assert not np.allclose(got, img)  # it actually displaced something
+
+
+def test_elastic_gate_fires_at_reference_rate():
+    from dahitra_tpu.data.xbd_cd_augment import elastic_gated
+
+    img = jnp.array(_img(6, 16, 16))
+    fn = jax.jit(jax.vmap(lambda k: jnp.any(elastic_gated(img, k) != img)))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    rate = float(jnp.mean(fn(keys)))
+    assert 0.005 < rate < 0.035  # p = 0.017
+
+
+def test_augment_xbd_elastic_flag():
+    """elastic=True leaves masks/labels untouched and matches elastic=False
+    everywhere the gate doesn't fire."""
+    from dahitra_tpu.data.xbd_augment import augment_xbd
+
+    rng = np.random.default_rng(7)
+    b, h, w = 4, 24, 24
+    pre = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    post = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    msk = rng.integers(0, 2, (b, h, w, 5), dtype=np.uint8)
+    lbl = rng.integers(0, 5, (b, h, w)).astype(np.uint8)
+    key = jax.random.PRNGKey(11)
+    img_off, msk_off, lbl_off = augment_xbd(pre, post, msk, lbl, key)
+    img_on, msk_on, lbl_on = augment_xbd(pre, post, msk, lbl, key,
+                                         elastic=True)
+    np.testing.assert_array_equal(np.asarray(msk_on), np.asarray(msk_off))
+    np.testing.assert_array_equal(np.asarray(lbl_on), np.asarray(lbl_off))
+    assert img_on.shape == img_off.shape
+    # the flip/crop/jitter draws consume the same key prefix, so samples the
+    # elastic gate skips are bit-identical
+    same = np.isclose(np.asarray(img_on), np.asarray(img_off)).all(axis=(1, 2, 3))
+    assert same.sum() >= b - 2
