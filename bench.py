@@ -52,7 +52,7 @@ INNER_ATTEMPTS = 2
 _INNER_ENV = "DAHITRA_BENCH_INNER"
 
 
-def _probe_backend_ok(timeout_s: float = 300.0) -> bool:
+def _probe_backend_ok(timeout_s: float = 180.0) -> bool:
     """True iff a fresh python process can init the jax backend + run a op."""
     code = ("import jax, numpy as np; "
             "np.asarray(jax.numpy.ones((8, 8)) @ jax.numpy.ones((8, 8)))")
@@ -85,12 +85,20 @@ def supervise() -> int:
         return 1
     env = dict(os.environ, **{_INNER_ENV: "1"})
     for attempt in range(INNER_ATTEMPTS):
-        rc = subprocess.run([sys.executable, __file__], env=env).returncode
+        try:
+            rc = subprocess.run([sys.executable, __file__], env=env,
+                                timeout=3600).returncode
+        except subprocess.TimeoutExpired:
+            rc = -9  # relay died mid-run and the process hung
         if rc == 0:
             return 0
         print(f"# inner bench attempt {attempt + 1} rc={rc}", file=sys.stderr)
         time.sleep(30)
-    return rc
+    print(json.dumps({"metric": "levir_eval_throughput_dahitra_256px_bf16",
+                      "value": 0.0, "unit": "image-pairs/sec/chip",
+                      "vs_baseline": 0.0,
+                      "error": f"inner bench failed rc={rc}"}))
+    return 1
 
 
 def _timed(fn, *args):

@@ -159,6 +159,15 @@ def main():
         "xbd_dahitra_tta_predict_1024_tiles_per_s": round(bench_predict(), 3),
     }
     print(json.dumps(out))
+    # Committed artifact (VERDICT r3: bench outputs must not live only in
+    # commit messages — without in-tree JSON the next round can't tell
+    # regression from chip drift).
+    artifact = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "artifacts", "xbd_bench.json")
+    _os.makedirs(_os.path.dirname(artifact), exist_ok=True)
+    with open(artifact, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {artifact}")
 
 
 if __name__ == "__main__":

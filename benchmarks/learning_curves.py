@@ -105,24 +105,31 @@ def run_xbd(loc_epochs: int, dmg_epochs: int, img_size: int = 512) -> dict:
             warm_start_from=os.path.join(loc_dir, "best_ckpt"))
         dmg = XBDTrainer(dmg_args, train_pairs.arrays(), val_pairs.arrays(),
                          task="damage")
-        dmg_curve, dmg_f1 = [], []
+        dmg_curve, dmg_f1, dmg_f1p = [], [], []
+        classes_present = 0
         for ep in range(dmg_epochs):
             dmg.train_one_epoch(ep)
             sc = dmg.evaluate_and_checkpoint(ep)
             dmg_curve.append(round(sc["score"], 5))
             dmg_f1.append(round(sc.get("damage_f1", 0.0), 5))
+            dmg_f1p.append(round(sc.get("damage_f1_present", 0.0), 5))
+            classes_present = sc.get("classes_present", 0)
         out["xbd_damage"] = {
             "metric": "xview2_score (0.3*dice + 0.7*harmonic_F1)",
             "note": "harmonic F1 over 4 damage classes collapses to ~0 "
                     "when any class has no pixels in the tiny fixture val "
                     "set (the +1e-6 guard dominates) — the reference's "
-                    "metric (train.py:281-289) does the same; the rising "
-                    "score curve is the dice term learning localization",
+                    "metric (train.py:281-289) does the same; "
+                    "damage_f1_present_curve restricts the harmonic mean "
+                    "to classes with GT support (divergence-flagged extra "
+                    "metric) so the curve evidences damage-class learning",
             "recipe": "train.py Res34_Unet_Double branch (5-class, warm "
                       "start from res34 loc, ComboLoss dice+8*focal "
                       "channel-weighted)",
             "n_tiles": len(files), "curve": dmg_curve,
-            "damage_f1_curve": dmg_f1}
+            "damage_f1_curve": dmg_f1,
+            "damage_f1_present_curve": dmg_f1p,
+            "classes_present_in_val": classes_present}
     return out
 
 

@@ -1,0 +1,286 @@
+"""Train-step roofline: per-segment timings of the DAHiTra LEVIR train step.
+
+VERDICT r3 item 2: eval has a written roofline (~430 GB/s HBM-bound,
+docs/ARCHITECTURE.md) but the train step does not — train MFU (~26% at b64)
+is roughly half of eval's and nothing states where the non-MXU time goes.
+This harness measures, IN ONE PROCESS (the tunneled chip drifts ~2x between
+processes) and inside fused jitted scans (standalone-op numbers mislead —
+memory: tpu-tunnel-measurement), the segments of the b64 bf16 train step:
+
+  full       the real train step (aug + fwd + bwd + AdamW + CM), state carry
+  fwd        aug + loss forward only (train=True, BN stats mutated)
+  fwd_bwd    aug + value_and_grad (grads consumed into the carry)
+  adamw      optimizer update alone (fixed grads, perturbed per iteration)
+  trunk_fwd  resnet trunk on the batch-stacked date pair (forward_single)
+  trunk_bwd  grad of sum(trunk outputs) — trunk fwd+bwd incl. PairBatchNorm
+
+Derived attribution printed at the end:
+  backward_total = fwd_bwd - fwd
+  trans+head fwd = fwd - trunk_fwd (minus aug, measured separately)
+  trans+head bwd = backward_total - (trunk_bwd - trunk_fwd)
+  step overhead  = full - fwd_bwd (AdamW + CM + bookkeeping)
+
+Each segment also reports XLA cost_analysis flops and bytes so the
+time can be placed against the 135 TFLOP/s MXU and ~800 GB/s HBM
+ceilings. Run on the real chip:  python benchmarks/train_roofline.py
+Writes benchmarks/artifacts/train_roofline.json.
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as python benchmarks/<x>.py
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BATCH = 64
+IMG = 256
+ITERS = 16  # --iters overrides (CPU smoke uses 2)  # scan length: 30 ms dispatch floor -> <2 ms/iter bias
+REPEATS = 3
+CHIP_BF16_TFLOPS = 135.0
+HBM_GBPS = 800.0  # v5e nominal
+
+
+def _sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def _timed_scan(jitted, *args):
+    """min-of-REPEATS wall time of one jitted call (already a scan of
+    ITERS); returns seconds per inner iteration."""
+    _sync(jitted(*args))  # compile + warm
+    best = np.inf
+    for _ in range(REPEATS):
+        t0 = time.time()
+        out = jitted(*args)
+        _sync(out)
+        best = min(best, time.time() - t0)
+    return best / ITERS
+
+
+def _cost(fn, *args):
+    try:
+        an = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return (float(an.get("flops", 0.0)),
+                float(an.get("bytes accessed", 0.0)))
+    except Exception:
+        return 0.0, 0.0
+
+
+def main():
+    global ITERS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--img", type=int, default=IMG)
+    ap.add_argument("--iters", type=int, default=ITERS)
+    args_cli = ap.parse_args()
+    batch = args_cli.batch
+    img = args_cli.img
+    ITERS = args_cli.iters
+
+    from dahitra_tpu.data.augment import augment_pairs
+    from dahitra_tpu.losses.cd import levir_train_loss
+    from dahitra_tpu.metrics.confusion import batch_confusion_matrix
+    from dahitra_tpu.models import define_g
+    from dahitra_tpu.models.dahitra import DAHiTraUNet
+    from dahitra_tpu.train.optim import make_optimizer
+
+    model = define_g("newUNetTrans", dtype=jnp.bfloat16, img_size=img)
+    key = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((batch, img, img, 3), jnp.bfloat16)
+    variables = jax.jit(lambda k, a, b: model.init(k, a, b, False))(
+        key, dummy, dummy)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    a_u8 = jnp.asarray(rng.integers(0, 255, (batch, img, img, 3),
+                                    dtype=np.uint8))
+    b_u8 = jnp.asarray(rng.integers(0, 255, (batch, img, img, 3),
+                                    dtype=np.uint8))
+    l_u8 = jnp.asarray(rng.integers(0, 2, (batch, img, img)).astype(np.uint8))
+    _sync((a_u8, b_u8, l_u8))
+
+    def loss_forward(params, batch_stats, key):
+        a, b, label = augment_pairs(a_u8, b_u8, l_u8, key, train=True,
+                                    dtype=jnp.bfloat16)
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, a, b, True,
+            mutable=["batch_stats"])
+        loss = levir_train_loss(logits.astype(jnp.float32), label, batch)
+        return loss, (logits, label, mut["batch_stats"])
+
+    # --- segment scans: carry chains a scalar into the key so XLA cannot
+    # hoist the body out of the loop ---
+
+    @jax.jit
+    def scan_fwd(params, batch_stats):
+        def body(c, i):
+            loss, (_, _, bs) = loss_forward(
+                params, batch_stats, jax.random.fold_in(
+                    jax.random.PRNGKey(1), i + c.astype(jnp.int32)))
+            return loss.astype(jnp.float32), None
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+        return out
+
+    @jax.jit
+    def scan_fwd_bwd(params, batch_stats):
+        def body(c, i):
+            (loss, _), grads = jax.value_and_grad(
+                loss_forward, has_aux=True)(
+                    params, batch_stats, jax.random.fold_in(
+                        jax.random.PRNGKey(1), i + c.astype(jnp.int32)))
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return loss.astype(jnp.float32) + 0.0 * gsum, None
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+        return out
+
+    grads0 = jax.jit(lambda p, bs: jax.grad(
+        lambda pp: loss_forward(pp, bs, jax.random.PRNGKey(2))[0])(p))(
+        params, batch_stats)
+    _sync(grads0)
+
+    @jax.jit
+    def scan_adamw(params, opt_state):
+        def body(carry, i):
+            p, o = carry
+            g = jax.tree_util.tree_map(
+                lambda x: x * (1.0 + 1e-6 * i.astype(x.dtype)), grads0)
+            upd, o = tx.update(g, o, p)
+            p = optax.apply_updates(p, upd)
+            return (p, o), None
+        out, _ = jax.lax.scan(body, (params, opt_state), jnp.arange(ITERS))
+        return out
+
+    logits0 = jnp.zeros((batch, img, img, 2), jnp.bfloat16)
+
+    @jax.jit
+    def scan_cm(logits, label):
+        def body(c, i):
+            cm = batch_confusion_matrix(
+                jnp.argmax(logits + i.astype(jnp.bfloat16) * 0, -1), label, 2)
+            return c + cm, None
+        out, _ = jax.lax.scan(body, jnp.zeros((2, 2), jnp.int32),
+                              jnp.arange(ITERS))
+        return out
+
+    # trunk on the batch-stacked pair, the way the model runs it
+    x_pair = jnp.zeros((batch, img, img, 3), jnp.bfloat16)
+
+    def trunk_fwd(params, batch_stats, x1, x2):
+        outs, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.concatenate([x1, x2], 0), True, True,
+            mutable=["batch_stats"], method=DAHiTraUNet.forward_single)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+    @jax.jit
+    def scan_trunk_fwd(params, batch_stats):
+        def body(c, i):
+            s = trunk_fwd(params, batch_stats,
+                          x_pair + c * 0, x_pair + i.astype(jnp.bfloat16) * 0)
+            return s.astype(jnp.bfloat16), None
+        out, _ = jax.lax.scan(body, jnp.bfloat16(0), jnp.arange(ITERS))
+        return out
+
+    @jax.jit
+    def scan_trunk_bwd(params, batch_stats):
+        def body(c, i):
+            g = jax.grad(trunk_fwd)(params, batch_stats, x_pair + c * 0,
+                                    x_pair + i.astype(jnp.bfloat16) * 0)
+            gs = sum(jnp.sum(x.astype(jnp.float32))
+                     for x in jax.tree_util.tree_leaves(g))
+            return gs.astype(jnp.bfloat16) * 0, None
+        out, _ = jax.lax.scan(body, jnp.bfloat16(0), jnp.arange(ITERS))
+        return out
+
+    @jax.jit
+    def scan_full(state):
+        params, batch_stats, opt_state = state
+
+        def body(carry, i):
+            p, bs, o = carry
+            (loss, (logits, label, new_bs)), grads = jax.value_and_grad(
+                loss_forward, has_aux=True)(
+                    p, bs, jax.random.fold_in(jax.random.PRNGKey(1), i))
+            upd, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, upd)
+            cm = batch_confusion_matrix(jnp.argmax(logits, -1), label, 2)
+            return (p, new_bs, o), (loss, cm)
+        state, (losses, cms) = jax.lax.scan(body, (params, batch_stats,
+                                                   opt_state),
+                                            jnp.arange(ITERS))
+        return losses
+
+    segs = {}
+    segs["full"] = _timed_scan(scan_full, (params, batch_stats, opt_state))
+    segs["fwd"] = _timed_scan(scan_fwd, params, batch_stats)
+    segs["fwd_bwd"] = _timed_scan(scan_fwd_bwd, params, batch_stats)
+    segs["adamw"] = _timed_scan(scan_adamw, params, opt_state)
+    segs["cm"] = _timed_scan(scan_cm, logits0, l_u8.astype(jnp.int32))
+    segs["trunk_fwd"] = _timed_scan(scan_trunk_fwd, params, batch_stats)
+    segs["trunk_bwd"] = _timed_scan(scan_trunk_bwd, params, batch_stats)
+
+    fl_fwd, by_fwd = _cost(lambda p, b: loss_forward(p, b,
+                                                     jax.random.PRNGKey(1))[0],
+                           params, batch_stats)
+    fl_fb, by_fb = _cost(
+        lambda p, b: jax.grad(
+            lambda pp: loss_forward(pp, b, jax.random.PRNGKey(1))[0])(p),
+        params, batch_stats)
+
+    out = {
+        "config": {"batch": batch, "img": img, "iters": ITERS,
+                   "dtype": "bfloat16"},
+        "seconds_per_iter": {k: round(v, 5) for k, v in segs.items()},
+        "derived_ms": {
+            "backward_total": round(1e3 * (segs["fwd_bwd"] - segs["fwd"]), 2),
+            "trunk_bwd_only": round(
+                1e3 * (segs["trunk_bwd"] - segs["trunk_fwd"]), 2),
+            "trans_head_fwd": round(
+                1e3 * (segs["fwd"] - segs["trunk_fwd"]), 2),
+            "trans_head_bwd": round(
+                1e3 * ((segs["fwd_bwd"] - segs["fwd"])
+                       - (segs["trunk_bwd"] - segs["trunk_fwd"])), 2),
+            "step_overhead_adamw_cm": round(
+                1e3 * (segs["full"] - segs["fwd_bwd"]), 2),
+        },
+        "cost_analysis": {
+            "fwd_tflops_achieved": round(fl_fwd / segs["fwd"] / 1e12, 2),
+            "fwd_gbps_achieved": round(by_fwd / segs["fwd"] / 1e9, 1),
+            "fwd_bwd_tflops_achieved": round(fl_fb / segs["fwd_bwd"] / 1e12,
+                                             2),
+            "fwd_bwd_gbps_achieved": round(by_fb / segs["fwd_bwd"] / 1e9, 1),
+            "mxu_ceiling_tflops": CHIP_BF16_TFLOPS,
+            "hbm_ceiling_gbps": HBM_GBPS,
+        },
+        "train_imps": round(batch / segs["full"], 1),
+    }
+    print(json.dumps(out, indent=2))
+    if jax.devices()[0].platform == "cpu":
+        print("cpu smoke run — artifact not written")
+        return
+    artifact = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "artifacts", "train_roofline.json")
+    _os.makedirs(_os.path.dirname(artifact), exist_ok=True)
+    with open(artifact, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {artifact}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,7 @@ def six_channel(key: str) -> bool:
 def main(argv=None) -> int:
     keys = (argv or sys.argv[1:]) or sorted(available_models())
     ok, bad = [], []
+    per_key = {}
     for key in keys:
         s = 256 if key in SIZE_256 else 64
         try:
@@ -86,12 +87,33 @@ def main(argv=None) -> int:
             print(f"{tag} {key:42s} {s}px out{getattr(leaves[-1], 'shape', ())}"
                   f" finite={finite} {dt:5.1f}s", flush=True)
             (ok if finite else bad).append(key)
+            per_key[key] = {"px": s, "compile_fwd_s": round(dt, 2),
+                            "finite": finite}
         except Exception as e:
             print(f"FAIL {key:42s} {type(e).__name__}: {str(e)[:160]}",
                   flush=True)
             traceback.print_exc(limit=2)
             bad.append(key)
+            per_key[key] = {"px": s, "error": f"{type(e).__name__}: "
+                                              f"{str(e)[:160]}"}
     print(f"\n{len(ok)} ok, {len(bad)} bad: {bad}")
+    # Committed artifact for full (all-keys) chip sweeps; partial reruns
+    # merge into the existing file so a tail rerun doesn't drop entries.
+    if not os.environ.get("DAHITRA_SMOKE_CPU"):
+        import json
+
+        artifact = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                 "artifacts", "zoo_smoke.json")
+        _os.makedirs(_os.path.dirname(artifact), exist_ok=True)
+        merged = {}
+        if _os.path.exists(artifact):
+            with open(artifact) as f:
+                merged = json.load(f)
+        merged.update(per_key)
+        merged["_platform"] = jax.devices()[0].platform
+        with open(artifact, "w") as f:
+            json.dump(merged, f, indent=2, sort_keys=True)
+        print(f"wrote {artifact}")
     return 1 if bad else 0
 
 

@@ -42,6 +42,8 @@ def main(argv=None):
     if not os.path.isdir(os.path.join(cfg.root_dir, split, "A")):
         split = "val" if os.path.isdir(os.path.join(cfg.root_dir, "val", "A")) \
             else "train"
+        print(f"WARNING: split '{args.split}' not found under "
+              f"{cfg.root_dir} — evaluating '{split}' instead")
 
     # Determine whether tiles are large enough for the patch sweep.
     probe = load_levir_split(cfg.root_dir, split, args.img_size,

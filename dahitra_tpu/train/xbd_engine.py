@@ -400,12 +400,28 @@ class XBDTrainer:
         f1_sc = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
         f1 = float(n_dmg) / np.sum(1.0 / (f1_sc + 1e-6))
         sc = 0.3 * d0 + 0.7 * f1
+        # DIVERGENCE (extra metric, not a replacement): the reference's
+        # harmonic F1 averages over all 4 damage classes (train.py:283-287),
+        # so on a small fixture where some class never appears in val the
+        # harmonic mean pins to ~0 regardless of learning. `damage_f1_present`
+        # restricts the harmonic mean to classes with GT support
+        # (tp + fn > 0) — sensitive on fixtures, identical on full xBD where
+        # every class is present. `score` stays the reference formula.
+        present = (tp + fn) > 0
+        if present.any():
+            f1_present = float(present.sum()) / np.sum(
+                1.0 / (f1_sc[present] + 1e-6))
+        else:
+            f1_present = 0.0
         per_class = ", ".join(
             f"F1_{c}: {f1_sc[c]:.5f}" for c in range(n_dmg))
         self.logger.write(
             f"Val Score: {sc:.5f}, Dice: {d0:.5f}, F1: {f1:.5f}, "
-            + per_class + "\n")
+            f"F1_present: {f1_present:.5f} "
+            f"({int(present.sum())}/{n_dmg} classes), " + per_class + "\n")
         return {"score": float(sc), "dice_loc": d0, "damage_f1": float(f1),
+                "damage_f1_present": float(f1_present),
+                "classes_present": int(present.sum()),
                 "class_f1": f1_sc.tolist()}
 
     def evaluate_and_checkpoint(self, epoch: int) -> dict:

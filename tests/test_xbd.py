@@ -221,3 +221,41 @@ def test_warm_start_copies_sibling_arch_weights(tmp_path):
     a = first_leaf(jax.device_get(loc.state.params))
     b = first_leaf(jax.device_get(dmg.state.params))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_damage_f1_present_masks_absent_classes(tmp_path):
+    """VERDICT r3 item 7: on a fixture whose val GT contains only some
+    damage classes, the reference harmonic F1 pins to ~0 (absent class ->
+    1/(0+1e-6) dominates); damage_f1_present restricts the harmonic mean to
+    GT-supported classes. score must stay the reference formula."""
+    from dahitra_tpu.core.mesh import make_mesh
+    from dahitra_tpu.train.xbd_engine import XBDTrainer
+
+    rng = np.random.default_rng(2)
+    n, s = 2, 32
+    # GT: only damage classes 0 and 1 appear (mask channels 1 and 2);
+    # channels 3 and 4 are empty -> classes 2 and 3 have tp + fn == 0.
+    msk = np.zeros((n, s, s, 5), np.uint8)
+    msk[..., 0] = rng.integers(0, 2, (n, s, s))
+    msk[..., 1] = msk[..., 0] & (rng.random((n, s, s)) < 0.6)
+    msk[..., 2] = msk[..., 0] & ~msk[..., 1].astype(bool)
+    arrays = {
+        "img_pre": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "img_post": rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8),
+        "msk": msk,
+        "lbl_msk": msk[..., 1:].argmax(-1).astype(np.uint8),
+    }
+    args = argparse.Namespace(
+        net_G="xbd_res34_double", img_size=s, batch_size=2, val_batch_size=2,
+        lr=0.0, max_epochs=1, checkpoint_dir=str(tmp_path), bf16=False,
+        seed=0, warm_start_from=None)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    trainer = XBDTrainer(args, arrays, arrays, mesh=mesh, task="damage")
+    sc = trainer.validate()
+    assert sc["classes_present"] == 2
+    # reference metric ~0 because two classes are absent
+    assert sc["damage_f1"] < 1e-4
+    assert sc["damage_f1_present"] >= sc["damage_f1"]
+    # the headline score keeps the reference formula
+    assert sc["score"] == pytest.approx(
+        0.3 * sc["dice_loc"] + 0.7 * sc["damage_f1"], abs=1e-6)
