@@ -10,8 +10,8 @@ carry the eval headline; extra fields report the train-step metric and MFU:
   train_vs_baseline     vs the reference's 67.77 img/s log line — which is
                         its training-run throughput counter (BASELINE.md)
   eval_tflops/train_tflops  achieved TFLOP/s (XLA cost_analysis flops/time)
-  eval_mfu_pct/train_mfu_pct  vs the chip's measured 135 TFLOP/s bf16
-                        matmul ceiling (memory: chip calibration)
+  eval_mfu_pct/train_mfu_pct  vs the v5e spec peak 197 TFLOP/s bf16
+                        (re-calibrated round 4; older rounds used 135)
 
 Pipeline measured (eval) = the framework's one-dispatch epoch evaluation
 (CDEvaluator.eval_epoch_scan): uint8 set staged in HBM, one jitted lax.scan
@@ -34,7 +34,13 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMPS = 67.77
-CHIP_BF16_TFLOPS = 135.0  # measured matmul ceiling on this v5e chip
+# MFU denominator: v5e peak bf16 matmul throughput. Earlier rounds used a
+# "measured 135 TFLOP/s ceiling", but that calibration carried the tunnel's
+# dispatch+D2H constants inside the timed region; the differenced canary
+# below measures 185.6 TFLOP/s on the same chip (94% of the 197 spec peak),
+# so MFU is now reported against the spec peak. Cross-round MFU comparisons
+# must rescale older rounds by 135/197.
+CHIP_BF16_TFLOPS = 197.0  # v5e spec peak, bf16
 IMG = 256
 EVAL_BATCH = 128  # larger eval batches amortize the 32-wide head ops
 EVAL_BATCHES = 16
@@ -212,27 +218,40 @@ def bench_train(batch=TRAIN_BATCH):
 
 
 def bench_canary():
-    """Fixed chip-speed canary: a 64-iter jitted scan of 2048^3 bf16 matmuls.
+    """Fixed chip-speed canary: differenced scans of 2048^3 bf16 matmuls.
 
     The tunneled chip's effective throughput drifts ~2x between processes
     (docs/ARCHITECTURE.md round-3 note), so every BENCH_rN records this
     constant kernel's achieved TFLOP/s measured in the SAME process as the
     headline metrics. Cross-round comparisons divide by the canary ratio to
-    separate framework regressions from chip/tunnel drift. 64 iterations
-    amortize the ~30 ms tunnel dispatch floor to <0.5 ms/iter of bias.
+    separate framework regressions from chip/tunnel drift.
+
+    Measurement design (round 4): time a 256-iter and a 1280-iter scan and
+    difference them — the ~30 ms tunnel dispatch and the D2H sync cost are
+    identical constants in both, so the difference is 1024 iterations of
+    pure device compute. (The round-3 canary returned the full 2048^2
+    matrix, so np.asarray dragged 8 MB through the ~45 MB/s tunnel every
+    rep and it read 5 TFLOP/s on a healthy chip.) Scaling by ~1/sqrt(n)
+    per iteration keeps magnitudes O(1) across 1280 bf16 matmuls.
     """
-    n, iters = 2048, 64
+    n, lo, hi = 2048, 256, 1280
 
-    @jax.jit
-    def run(x):
-        def body(c, _):
-            return c @ x, None
-        y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y
+    def make(iters):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return (c @ x) * 0.0221, None  # ~1/sqrt(2048)
+            y, _ = jax.lax.scan(body, x, None, length=iters)
+            return y[0, 0]  # scalar out: keep D2H off the timed path
+        return run
 
-    x = jnp.eye(n, dtype=jnp.bfloat16) * 0.999
-    dt = _timed(run, x)
-    return 2.0 * n * n * n * iters / dt / 1e12
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    t_lo = _timed(make(lo), x)
+    t_hi = _timed(make(hi), x)
+    dt = t_hi - t_lo
+    if dt <= 0:  # drift noise swamped the difference; don't report garbage
+        return 0.0
+    return 2.0 * n * n * n * (hi - lo) / dt / 1e12
 
 
 def main():

@@ -136,7 +136,7 @@ def bench_predict() -> float:
     return 1.0 / min(ts)
 
 
-CHIP_BF16_TFLOPS = 135.0  # measured matmul ceiling on this v5e chip
+CHIP_BF16_TFLOPS = 197.0  # v5e spec peak bf16 (re-calibrated round 4)
 
 
 def main():

@@ -21,7 +21,7 @@ Derived attribution printed at the end:
   step overhead  = full - fwd_bwd (AdamW + CM + bookkeeping)
 
 Each segment also reports XLA cost_analysis flops and bytes so the
-time can be placed against the 135 TFLOP/s MXU and ~800 GB/s HBM
+time can be placed against the re-calibrated MXU/conv and ~800 GB/s HBM
 ceilings. Run on the real chip:  python benchmarks/train_roofline.py
 Writes benchmarks/artifacts/train_roofline.json.
 """
@@ -47,7 +47,13 @@ BATCH = 64
 IMG = 256
 ITERS = 16  # --iters overrides (CPU smoke uses 2)  # scan length: 30 ms dispatch floor -> <2 ms/iter bias
 REPEATS = 3
-CHIP_BF16_TFLOPS = 135.0
+# Re-calibrated round 4 (differenced-scan canary, docs/ARCHITECTURE.md):
+# the chip reaches 185.6 TFLOP/s on 2048^3 bf16 matmuls (94% of the 197
+# v5e spec peak) and 133-153 TFLOP/s on 3x3 convs at the model's hot
+# shapes; the old "measured 135 matmul / 102 conv" figures carried the
+# tunnel dispatch+D2H constants inside the timed region.
+CHIP_BF16_TFLOPS = 197.0
+CHIP_CONV_TFLOPS = 143.0  # midpoint of the measured 133-153 conv range
 HBM_GBPS = 800.0  # v5e nominal
 
 
