@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--img", type=int, default=IMG)
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--fine", action="store_true",
+                    help="also time each trans module + head fwd/bwd")
     args_cli = ap.parse_args()
     batch = args_cli.batch
     img = args_cli.img
@@ -232,6 +234,98 @@ def main():
                                             jnp.arange(ITERS))
         return losses
 
+    # --- fine segments: each transformer-difference module and the
+    # top-down head, fwd and fwd+bwd, at their in-model shapes ---
+    def _seg_scan(fn, *args):
+        """Time fn(params, *args) inside an ITERS-scan (input perturbed per
+        iteration so XLA cannot hoist the body)."""
+        @jax.jit
+        def scan(params):
+            def body(c, i):
+                out = fn(params, *[a + i.astype(a.dtype) * 0 for a in args])
+                return (c + out.astype(jnp.float32)) * 0, None
+            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+            return out
+        return _timed_scan(scan, params)
+
+    fine = {}
+    if args_cli.fine:
+        b = batch
+        shapes = {  # in-model activation shapes at img 256 scale factors
+            "trans_3": ((b, img // 4, img // 4, 64),) * 2,
+            "trans_4": ((b, img // 8, img // 8, 128),) * 2,
+            "trans_5": ((b, img // 16, img // 16, 256),) * 2,
+        }
+        for name, shp in shapes.items():
+            x1 = jnp.zeros(shp[0], jnp.bfloat16)
+            x2 = jnp.ones(shp[1], jnp.bfloat16)
+
+            def mod_fwd(p, x1, x2, _name=name):
+                out = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x1, x2,
+                    method=lambda m, x1, x2: getattr(m, _name)(x1, x2))
+                return jnp.sum(out.astype(jnp.float32))
+
+            fine[f"{name}_fwd"] = _seg_scan(mod_fwd, x1, x2)
+            fine[f"{name}_fwdbwd"] = _seg_scan(
+                lambda p, x1, x2, _f=mod_fwd: sum(
+                    jnp.sum(g.astype(jnp.float32))
+                    for g in jax.tree_util.tree_leaves(
+                        jax.grad(_f)(p, x1, x2))), x1, x2)
+
+        # Top-down head: upsample + PhaseUpConvs + TwoLayerConv + classifier
+        # on pre-made trans outputs (networks.py:1321-1357 analog).
+        out5 = jnp.zeros((b, img // 16, img // 16, 32), jnp.bfloat16)
+        t4 = jnp.zeros((b, img // 8, img // 8, 32), jnp.bfloat16)
+        t3 = jnp.zeros((b, img // 4, img // 4, 32), jnp.bfloat16)
+        ab2 = jnp.zeros((b, img // 2, img // 2, 128), jnp.bfloat16)
+
+        def head_fwd(p, out5, t4, t3, ab2):
+            from dahitra_tpu.nn.blocks import upsample_nearest as up
+
+            def run(m, out5, t4, t3, ab2):
+                o5 = up(out5, 2)
+                o4 = m.conv_layer4(t4 + o5)
+                o3 = m.conv_layer3(t3 + o4)
+                o2 = m.conv_layer2_0(ab2, True)
+                o2 = m.conv_layer2(o2 + o3)
+                return m.classifier(o2)
+            out, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                out5, t4, t3, ab2, method=run, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32))
+
+        fine["head_fwd"] = _seg_scan(head_fwd, out5, t4, t3, ab2)
+        fine["head_fwdbwd"] = _seg_scan(
+            lambda p, *a: sum(jnp.sum(g.astype(jnp.float32))
+                              for g in jax.tree_util.tree_leaves(
+                                  jax.grad(head_fwd)(p, *a))),
+            out5, t4, t3, ab2)
+
+        # Augmentation alone (uint8 -> bf16 train transform).
+        @jax.jit
+        def scan_aug(key0):
+            def body(c, i):
+                a, bb, lab = augment_pairs(a_u8, b_u8, l_u8,
+                                           jax.random.fold_in(key0, i),
+                                           train=True, dtype=jnp.bfloat16)
+                return (c + jnp.sum(a[0, 0, 0].astype(jnp.float32))) * 0, None
+            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+            return out
+        fine["aug"] = _timed_scan(scan_aug, jax.random.PRNGKey(3))
+
+        # Loss alone (fp32 logits path) + its backward wrt logits.
+        lg = jnp.zeros((b, img, img, 2), jnp.bfloat16)
+        lbl = l_u8.astype(jnp.int32)
+
+        def loss_only(p, lg):
+            del p
+            return levir_train_loss(lg.astype(jnp.float32), lbl, b)
+        fine["loss_fwd"] = _seg_scan(loss_only, lg)
+        fine["loss_fwdbwd"] = _seg_scan(
+            lambda p, lg: jnp.sum(jax.grad(
+                lambda g: loss_only(None, g))(lg).astype(jnp.float32)), lg)
+
     segs = {}
     segs["full"] = _timed_scan(scan_full, (params, batch_stats, opt_state))
     segs["fwd"] = _timed_scan(scan_fwd, params, batch_stats)
@@ -276,6 +370,13 @@ def main():
         },
         "train_imps": round(batch / segs["full"], 1),
     }
+    if fine:
+        out["fine_seconds_per_iter"] = {k: round(v, 5)
+                                        for k, v in fine.items()}
+        out["fine_derived_ms"] = {
+            f"{m}_bwd_only": round(
+                1e3 * (fine[f"{m}_fwdbwd"] - fine[f"{m}_fwd"]), 2)
+            for m in ("trans_3", "trans_4", "trans_5", "head", "loss")}
     print(json.dumps(out, indent=2))
     if jax.devices()[0].platform == "cpu":
         print("cpu smoke run — artifact not written")
