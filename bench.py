@@ -224,7 +224,10 @@ def bench_canary():
     (docs/ARCHITECTURE.md round-3 note), so every BENCH_rN records this
     constant kernel's achieved TFLOP/s measured in the SAME process as the
     headline metrics. Cross-round comparisons divide by the canary ratio to
-    separate framework regressions from chip/tunnel drift.
+    separate framework regressions from chip/tunnel drift — within the SAME
+    canary series only (``canary_version`` in the JSON; the r3 canary
+    returned an 8 MB matrix and measured the tunnel, not the chip, so
+    r3-vs-r4+ canary ratios are meaningless).
 
     Measurement design (round 4): time a 256-iter and a 1280-iter scan and
     difference them — the ~30 ms tunnel dispatch and the D2H sync cost are
@@ -233,6 +236,11 @@ def bench_canary():
     matrix, so np.asarray dragged 8 MB through the ~45 MB/s tunnel every
     rep and it read 5 TFLOP/s on a healthy chip.) Scaling by ~1/sqrt(n)
     per iteration keeps magnitudes O(1) across 1280 bf16 matmuls.
+
+    Returns (tflops, t_lo): ``t_lo`` is the short-scan wall time — almost
+    entirely tunnel dispatch + D2H sync — kept in the JSON as the dispatch
+    floor so tunnel-latency drift stays observable alongside the
+    compute-only TFLOP/s reading.
     """
     n, lo, hi = 2048, 256, 1280
 
@@ -250,14 +258,31 @@ def bench_canary():
     t_hi = _timed(make(hi), x)
     dt = t_hi - t_lo
     if dt <= 0:  # drift noise swamped the difference; don't report garbage
-        return 0.0
-    return 2.0 * n * n * n * (hi - lo) / dt / 1e12
+        return 0.0, t_lo
+    return 2.0 * n * n * n * (hi - lo) / dt / 1e12, t_lo
+
+
+def bench_xbd_train():
+    """xBD damage-training tiles/s at the reference's native recipe
+    (1024px tiles, batch 1 — xBD_code/train.py:67,310-388), via the same
+    chunked-scan measurement as benchmarks/bench_xbd.py. BASELINE.json
+    names "xBD tiles/sec" as a headline metric; this puts it in the
+    driver-parsed JSON instead of only the queued artifact."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    import bench_xbd
+
+    tiles_per_s, _, _ = bench_xbd.bench_train(1, scan=True)
+    return tiles_per_s
 
 
 def main():
     from dahitra_tpu.models import define_g
 
-    canary_tflops = bench_canary()
+    canary_tflops, canary_t_lo = bench_canary()
 
     model = define_g("newUNetTrans", dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
@@ -271,18 +296,31 @@ def main():
     # reference's batch 8 was a GPU memory limit, not a modeling choice).
     # b128 measured ~6% over b64 (interleaved A/B) once the decoder stack
     # was n-chunked past XLA's size cliff; b256 exhausts HBM.
-    train64_imps, _, _ = bench_train(64)
-    train128_imps, _, _ = bench_train(128)
+    train64_imps, train64_dt, nb64 = bench_train(64)
+    train128_imps, train128_dt, nb128 = bench_train(128)
 
     # Train FLOPs: cost_analysis on the whole donated-scan is awkward;
     # approximate with 3x the single-forward flops (fwd + bwd ~ 2x fwd),
-    # the standard accounting.
+    # the standard accounting. Forward flops are exactly linear in batch,
+    # so the b64/b128 points reuse the per-image figure.
     fwd_fl = _flops(lambda v, a, b: model.apply(v, a, b, False),
                     variables, dummy[:TRAIN_BATCH], dummy[:TRAIN_BATCH])
+    fwd_fl_img = fwd_fl / TRAIN_BATCH if fwd_fl else 0.0
     train_tflops = (3.0 * fwd_fl * n_batches / train_dt / 1e12
                     if fwd_fl else 0.0)
+    train64_tflops = 3.0 * fwd_fl_img * 64 * nb64 / train64_dt / 1e12
+    train128_tflops = 3.0 * fwd_fl_img * 128 * nb128 / train128_dt / 1e12
 
-    print(json.dumps({
+    # xBD native-recipe throughput (1024px b1). A failure here (e.g. HBM
+    # fragmentation after the LEVIR staging) must not zero the LEVIR
+    # headline, so it degrades to 0.0 + an error note.
+    try:
+        xbd_tiles = bench_xbd_train()
+        xbd_err = None
+    except Exception as e:  # pragma: no cover - depends on chip state
+        xbd_tiles, xbd_err = 0.0, f"{type(e).__name__}: {str(e)[:120]}"
+
+    out = {
         "metric": "levir_eval_throughput_dahitra_256px_bf16",
         "value": round(eval_imps, 2),
         "unit": "image-pairs/sec/chip",
@@ -296,12 +334,25 @@ def main():
         "train_mfu_pct": round(100 * train_tflops / CHIP_BF16_TFLOPS, 2),
         "train_b64_imps": round(train64_imps, 2),
         "train_b64_vs_baseline": round(train64_imps / BASELINE_IMPS, 2),
+        "train_b64_tflops": round(train64_tflops, 2),
+        "train_b64_mfu_pct": round(
+            100 * train64_tflops / CHIP_BF16_TFLOPS, 2),
         "train_b128_imps": round(train128_imps, 2),
         "train_b128_vs_baseline": round(train128_imps / BASELINE_IMPS, 2),
+        "train_b128_tflops": round(train128_tflops, 2),
+        "train_b128_mfu_pct": round(
+            100 * train128_tflops / CHIP_BF16_TFLOPS, 2),
+        "xbd_train_tiles_per_sec": round(xbd_tiles, 3),
+        "mfu_denominator_tflops": CHIP_BF16_TFLOPS,
         "canary_tflops": round(canary_tflops, 2),
         "canary_pct_of_ceiling": round(
             100 * canary_tflops / CHIP_BF16_TFLOPS, 2),
-    }))
+        "canary_version": "r4-differenced-scan",
+        "canary_dispatch_floor_s": round(canary_t_lo, 4),
+    }
+    if xbd_err:
+        out["xbd_train_error"] = xbd_err
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

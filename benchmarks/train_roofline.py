@@ -63,26 +63,41 @@ def _sync(x):
 
 def _timed_scan(jitted, *args):
     """min-of-REPEATS wall time of one jitted call (already a scan of
-    ITERS); returns seconds per inner iteration."""
+    ITERS); returns (seconds per inner iteration, spread) where spread is
+    the max-min range over REPEATS — the noise bound for any value derived
+    by differencing segments."""
     _sync(jitted(*args))  # compile + warm
-    best = np.inf
+    times = []
     for _ in range(REPEATS):
         t0 = time.time()
         out = jitted(*args)
         _sync(out)
-        best = min(best, time.time() - t0)
-    return best / ITERS
+        times.append(time.time() - t0)
+    return min(times) / ITERS, (max(times) - min(times)) / ITERS
 
 
 def _cost(fn, *args):
+    """(flops, hlo_bytes, io_floor_bytes) of the compiled fn.
+
+    ``flops`` (cost_analysis) counts real executed FLOPs — trustworthy.
+    ``hlo_bytes`` (cost_analysis 'bytes accessed') charges every HLO op's
+    operands+results as HBM traffic and ignores fusion elision, so it
+    OVER-counts real traffic (the v1 artifact divided it by time and
+    reported >1 TB/s "achieved" against an 800 GB/s chip — an accounting
+    bug, VERDICT r4). ``io_floor_bytes`` (memory_analysis argument+output
+    sizes) is a true LOWER bound: every argument is read and every output
+    written at least once. Real traffic lies in [io_floor, hlo_bytes]."""
     try:
-        an = jax.jit(fn).lower(*args).compile().cost_analysis()
+        comp = jax.jit(fn).lower(*args).compile()
+        an = comp.cost_analysis()
         if isinstance(an, (list, tuple)):
             an = an[0]
+        ma = comp.memory_analysis()
+        io = float(ma.argument_size_in_bytes + ma.output_size_in_bytes)
         return (float(an.get("flops", 0.0)),
-                float(an.get("bytes accessed", 0.0)))
+                float(an.get("bytes accessed", 0.0)), io)
     except Exception:
-        return 0.0, 0.0
+        return 0.0, 0.0, 0.0
 
 
 def main():
@@ -302,14 +317,21 @@ def main():
                                   jax.grad(head_fwd)(p, *a))),
             out5, t4, t3, ab2)
 
-        # Augmentation alone (uint8 -> bf16 train transform).
+        # Augmentation alone (uint8 -> bf16 train transform). ALL THREE
+        # outputs are folded into the carry via full sums — consuming only
+        # a[0,0,0] let XLA dead-code-eliminate the second image's blur/flip
+        # chain and the whole label path (advisor r4, medium), making the
+        # old reading a large under-measurement.
         @jax.jit
         def scan_aug(key0):
             def body(c, i):
                 a, bb, lab = augment_pairs(a_u8, b_u8, l_u8,
                                            jax.random.fold_in(key0, i),
                                            train=True, dtype=jnp.bfloat16)
-                return (c + jnp.sum(a[0, 0, 0].astype(jnp.float32))) * 0, None
+                s = (jnp.sum(a.astype(jnp.float32))
+                     + jnp.sum(bb.astype(jnp.float32))
+                     + jnp.sum(lab.astype(jnp.float32)))
+                return (c + s) * 0, None
             out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
             return out
         fine["aug"] = _timed_scan(scan_aug, jax.random.PRNGKey(3))
@@ -326,56 +348,98 @@ def main():
             lambda p, lg: jnp.sum(jax.grad(
                 lambda g: loss_only(None, g))(lg).astype(jnp.float32)), lg)
 
-    segs = {}
-    segs["full"] = _timed_scan(scan_full, (params, batch_stats, opt_state))
-    segs["fwd"] = _timed_scan(scan_fwd, params, batch_stats)
-    segs["fwd_bwd"] = _timed_scan(scan_fwd_bwd, params, batch_stats)
-    segs["adamw"] = _timed_scan(scan_adamw, params, opt_state)
-    segs["cm"] = _timed_scan(scan_cm, logits0, l_u8.astype(jnp.int32))
-    segs["trunk_fwd"] = _timed_scan(scan_trunk_fwd, params, batch_stats)
-    segs["trunk_bwd"] = _timed_scan(scan_trunk_bwd, params, batch_stats)
+    timed = {}
+    timed["full"] = _timed_scan(scan_full, (params, batch_stats, opt_state))
+    timed["fwd"] = _timed_scan(scan_fwd, params, batch_stats)
+    timed["fwd_bwd"] = _timed_scan(scan_fwd_bwd, params, batch_stats)
+    timed["adamw"] = _timed_scan(scan_adamw, params, opt_state)
+    timed["cm"] = _timed_scan(scan_cm, logits0, l_u8.astype(jnp.int32))
+    timed["trunk_fwd"] = _timed_scan(scan_trunk_fwd, params, batch_stats)
+    timed["trunk_bwd"] = _timed_scan(scan_trunk_bwd, params, batch_stats)
+    segs = {k: v[0] for k, v in timed.items()}
+    spreads = {k: v[1] for k, v in timed.items()}
 
-    fl_fwd, by_fwd = _cost(lambda p, b: loss_forward(p, b,
-                                                     jax.random.PRNGKey(1))[0],
-                           params, batch_stats)
-    fl_fb, by_fb = _cost(
+    fl_fwd, by_fwd, io_fwd = _cost(
+        lambda p, b: loss_forward(p, b, jax.random.PRNGKey(1))[0],
+        params, batch_stats)
+    fl_fb, by_fb, io_fb = _cost(
         lambda p, b: jax.grad(
             lambda pp: loss_forward(pp, b, jax.random.PRNGKey(1))[0])(p),
         params, batch_stats)
+
+    def _dms(x):
+        """Differenced segment in ms, clamped at 0: min-of-REPEATS
+        differencing noise exceeds the smallest segments (advisor r4), so a
+        negative difference is noise, not a measurement."""
+        return round(max(0.0, 1e3 * x), 2)
+
+    def _bound(fl, io, t):
+        """Roofline floors for one segment: the time it would take if the
+        segment were purely MXU-bound (at the matmul ceiling — optimistic,
+        convs cap lower) or purely HBM-bound at the argument+output I/O
+        floor. headroom_x = measured / max(floor): >1 means time is spent
+        beyond both proven floors (fusion-elided traffic, sub-128-lane
+        matmuls, scheduling) — see docs/ARCHITECTURE.md round-5 note."""
+        compute_floor = fl / (CHIP_BF16_TFLOPS * 1e12)
+        io_floor = io / (HBM_GBPS * 1e9)
+        floor = max(compute_floor, io_floor)
+        return {
+            "measured_ms": round(1e3 * t, 2),
+            "compute_floor_ms": round(1e3 * compute_floor, 2),
+            "io_floor_ms": round(1e3 * io_floor, 2),
+            "headroom_x": round(t / floor, 2) if floor > 0 else None,
+        }
 
     out = {
         "config": {"batch": batch, "img": img, "iters": ITERS,
                    "dtype": "bfloat16"},
         "seconds_per_iter": {k: round(v, 5) for k, v in segs.items()},
+        "timing_spread_s": {k: round(v, 5) for k, v in spreads.items()},
         "derived_ms": {
-            "backward_total": round(1e3 * (segs["fwd_bwd"] - segs["fwd"]), 2),
-            "trunk_bwd_only": round(
-                1e3 * (segs["trunk_bwd"] - segs["trunk_fwd"]), 2),
-            "trans_head_fwd": round(
-                1e3 * (segs["fwd"] - segs["trunk_fwd"]), 2),
-            "trans_head_bwd": round(
-                1e3 * ((segs["fwd_bwd"] - segs["fwd"])
-                       - (segs["trunk_bwd"] - segs["trunk_fwd"])), 2),
-            "step_overhead_adamw_cm": round(
-                1e3 * (segs["full"] - segs["fwd_bwd"]), 2),
+            "backward_total": _dms(segs["fwd_bwd"] - segs["fwd"]),
+            "trunk_bwd_only": _dms(segs["trunk_bwd"] - segs["trunk_fwd"]),
+            "trans_head_fwd": _dms(segs["fwd"] - segs["trunk_fwd"]),
+            "trans_head_bwd": _dms((segs["fwd_bwd"] - segs["fwd"])
+                                   - (segs["trunk_bwd"] - segs["trunk_fwd"])),
+            "step_overhead_adamw_cm": _dms(segs["full"] - segs["fwd_bwd"]),
         },
         "cost_analysis": {
             "fwd_tflops_achieved": round(fl_fwd / segs["fwd"] / 1e12, 2),
-            "fwd_gbps_achieved": round(by_fwd / segs["fwd"] / 1e9, 1),
             "fwd_bwd_tflops_achieved": round(fl_fb / segs["fwd_bwd"] / 1e12,
                                              2),
-            "fwd_bwd_gbps_achieved": round(by_fb / segs["fwd_bwd"] / 1e9, 1),
             "mxu_ceiling_tflops": CHIP_BF16_TFLOPS,
+            "conv_ceiling_tflops": CHIP_CONV_TFLOPS,
             "hbm_ceiling_gbps": HBM_GBPS,
+        },
+        # v2 byte model (VERDICT r4 item 2): v1 divided HLO 'bytes
+        # accessed' by time and published >1 TB/s "achieved" on an
+        # 800 GB/s chip. HLO bytes charge every op's operands+results and
+        # ignore fusion elision — an upper MODEL of traffic, never a
+        # bandwidth reading. The true lower bound (argument+output bytes,
+        # each touched at least once) comes from XLA memory_analysis.
+        "hbm_traffic": {
+            "fwd": {"hlo_model_gb": round(by_fwd / 1e9, 3),
+                    "io_floor_gb": round(io_fwd / 1e9, 3),
+                    "io_floor_gbps": round(io_fwd / segs["fwd"] / 1e9, 1)},
+            "fwd_bwd": {"hlo_model_gb": round(by_fb / 1e9, 3),
+                        "io_floor_gb": round(io_fb / 1e9, 3),
+                        "io_floor_gbps": round(io_fb / segs["fwd_bwd"] / 1e9,
+                                               1)},
+        },
+        "bound_analysis": {
+            "fwd": _bound(fl_fwd, io_fwd, segs["fwd"]),
+            "fwd_bwd": _bound(fl_fb, io_fb, segs["fwd_bwd"]),
         },
         "train_imps": round(batch / segs["full"], 1),
     }
     if fine:
+        fine_s = {k: v[0] for k, v in fine.items()}
         out["fine_seconds_per_iter"] = {k: round(v, 5)
-                                        for k, v in fine.items()}
+                                        for k, v in fine_s.items()}
+        out["fine_timing_spread_s"] = {k: round(v[1], 5)
+                                       for k, v in fine.items()}
         out["fine_derived_ms"] = {
-            f"{m}_bwd_only": round(
-                1e3 * (fine[f"{m}_fwdbwd"] - fine[f"{m}_fwd"]), 2)
+            f"{m}_bwd_only": _dms(fine_s[f"{m}_fwdbwd"] - fine_s[f"{m}_fwd"])
             for m in ("trans_3", "trans_4", "trans_5", "head", "loss")}
     print(json.dumps(out, indent=2))
     if jax.devices()[0].platform == "cpu":

@@ -119,3 +119,50 @@ def test_decoder_module_pallas_gates_off_unsupported_shapes():
     v = dec.init(key, x, m)
     out = dec.apply(v, x, m)  # must not raise
     assert out.shape == x.shape
+
+
+def test_fused_tokenizer_matches_xla(monkeypatch):
+    """Fused semantic tokenizer (interpret mode) vs the production math."""
+    from jax.experimental import pallas as pl
+    import dahitra_tpu.pallas.fused_tokenizer as ft
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        ft.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    b, n, c, l = 3, 512, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, n, c), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (c, l), jnp.float32) * 0.1
+
+    logits = x @ w
+    attn = jax.nn.softmax(logits, axis=1)
+    expected = jnp.einsum("bnl,bnc->blc", attn, x)
+
+    got = ft.fused_semantic_tokenizer(x, w, precise=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_tokenizer_bf16(monkeypatch):
+    from jax.experimental import pallas as pl
+    import dahitra_tpu.pallas.fused_tokenizer as ft
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        ft.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    b, n, c, l = 2, 256, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, n, c), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(3), (c, l), jnp.float32) * 0.1
+
+    logits = (x @ w.astype(jnp.bfloat16)).astype(jnp.float32)
+    attn = jax.nn.softmax(logits, axis=1).astype(jnp.bfloat16)
+    expected = jnp.einsum("bnl,bnc->blc", attn, x)
+
+    got = ft.fused_semantic_tokenizer(x, w)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expected, np.float32),
+        rtol=5e-2, atol=5e-2)
