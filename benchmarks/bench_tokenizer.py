@@ -60,6 +60,16 @@ def xla_tokenizer(x, w):
     return jnp.einsum("bnl,bnc->blc", attn, x)
 
 
+def xla_tokenizer_t(x, w):
+    """Transposed XLA form: keep logits/attn as (B, L, N) so the softmax
+    reduces over the LANE axis (n) instead of living in a 4-wide minor dim
+    (3% lane occupancy). Same math, addition order of the softmax sum and
+    pooling contraction unchanged (still over n)."""
+    logits = jnp.einsum("cl,bnc->bln", w.astype(x.dtype), x)
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(x.dtype)
+    return jnp.einsum("bln,bnc->blc", attn, x)
+
+
 def bench_one(fn, b, n, c, l, dtype=jnp.bfloat16):
     """Differenced output-chained scan: tokens feed back into x so the body
     cannot be hoisted or sliced down."""
@@ -99,12 +109,16 @@ def main():
     out = {}
     for name, (b, n, c) in shapes.items():
         xla_ms = 1e3 * bench_one(xla_tokenizer, b, n, c, l)
+        xlat_ms = 1e3 * bench_one(xla_tokenizer_t, b, n, c, l)
         pl_ms = 1e3 * bench_one(
             lambda x, w: fused_semantic_tokenizer(x, w), b, n, c, l)
-        out[name] = {"xla_ms": round(xla_ms, 4), "pallas_ms": round(pl_ms, 4),
-                     "speedup_x": round(xla_ms / pl_ms, 2)}
-        print(f"{name}: xla {xla_ms:.3f} ms  pallas {pl_ms:.3f} ms  "
-              f"({xla_ms / pl_ms:.2f}x)")
+        out[name] = {"xla_ms": round(xla_ms, 4),
+                     "xla_transposed_ms": round(xlat_ms, 4),
+                     "pallas_ms": round(pl_ms, 4),
+                     "speedup_x": round(xla_ms / pl_ms, 2),
+                     "speedup_transposed_x": round(xla_ms / xlat_ms, 2)}
+        print(f"{name}: xla {xla_ms:.3f} ms  xla_t {xlat_ms:.3f} ms  "
+              f"pallas {pl_ms:.3f} ms")
 
     # parity spot-check at one shape (fp32 tolerances; kernel accumulates
     # fp32 regardless of input dtype)

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from dahitra_tpu.nn.blocks import (
+    PhasePackedConv,
     PhaseUpConv,
     SemanticTokenizer,
     TransformerDecoder,
@@ -172,6 +173,10 @@ class DAHiTraUNet(nn.Module):
     # the reference's two-pass per-date trunk in train mode — the exact
     # equivalence baseline PairBatchNorm is tested against.
     pair_bn: Optional[bool] = None
+    # True (default): classifier runs as a PhasePackedConv on conv_layer2's
+    # phase-packed output — exact rewrite (see nn/blocks.PhasePackedConv).
+    # False restores the materialized (2H, 2W, 32) head for A/Bs.
+    fused_head: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -207,11 +212,21 @@ class DAHiTraUNet(nn.Module):
         # The reference's relu(conv3x3(Upsample2x(.))) heads
         # (networks.py:1330-1351) run as phase-space convs at the PRE-upsample
         # resolution — exact rewrite, 4x fewer input reads, full MXU lanes.
-        self.conv_layer2 = PhaseUpConv(32, dtype=self.dtype, name="conv_layer2")
+        self.conv_layer2 = PhaseUpConv(32, packed_out=self.fused_head,
+                                       dtype=self.dtype, name="conv_layer2")
         self.conv_layer3 = PhaseUpConv(32, dtype=self.dtype, name="conv_layer3")
         self.conv_layer4 = PhaseUpConv(32, dtype=self.dtype, name="conv_layer4")
-        self.classifier = nn.Conv(self.output_nc, (3, 3), padding=1,
-                                  dtype=self.dtype, name="classifier")
+        if self.fused_head:
+            # conv_layer2 stays phase-packed and the classifier consumes it
+            # as a PhasePackedConv: the (B, 2H, 2W, 32) pre-classifier map
+            # never touches HBM and the 3x3x32->nc conv (2/128 output
+            # lanes) becomes 3x3x128->4nc. Same parameter tree as nn.Conv.
+            self.classifier = PhasePackedConv(self.output_nc,
+                                              dtype=self.dtype,
+                                              name="classifier")
+        else:
+            self.classifier = nn.Conv(self.output_nc, (3, 3), padding=1,
+                                      dtype=self.dtype, name="classifier")
 
     def forward_single(self, x: jax.Array, train: bool, pair: bool = False
                        ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:

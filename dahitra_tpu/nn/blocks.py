@@ -88,6 +88,11 @@ class PhaseUpConv(nn.Module):
     features: int
     relu: bool = True
     fused: bool = True
+    # True: return the phase-PACKED tensor (B, H, W, 2*2*features) with
+    # channel order (di, dj, f) instead of depth-to-spacing to (2H, 2W, f).
+    # Consumers that stay in phase space (PhasePackedConv) avoid the 4x-res
+    # HBM round-trip entirely.
+    packed_out: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,8 +119,65 @@ class PhaseUpConv(nn.Module):
         t = t + jnp.tile(bias, 4).astype(self.dtype)
         if self.relu:
             t = nn.relu(t)
+        if self.packed_out:
+            return t
         b, h, w, _ = t.shape
         return depth_to_space2(t.reshape(b, h, w, 2, 2, self.features))
+
+
+# A[p, kr, u+1, di] = 1 iff full-res kernel row kr for output phase p lands
+# on phase-space kernel row u with input phase di: source full-res row
+# R = p + kr - 1 = 2u + di (u in {-1,0,1}, di in {0,1}). numpy constant so
+# it never captures a trace.
+_PHASE_PACK_TAPS = _np.zeros((2, 3, 3, 2), _np.float32)
+for _p in range(2):
+    for _kr in range(3):
+        _R = _p + _kr - 1
+        _PHASE_PACK_TAPS[_p, _kr, _R // 2 + 1, _R % 2] = 1.0
+del _p, _kr, _R
+
+
+class PhasePackedConv(nn.Module):
+    """A stride-1 3x3 SAME conv at FULL resolution, evaluated directly on a
+    phase-packed half-resolution input (B, H, W, 2*2*c_in), channel order
+    (di, dj, c) — the layout PhaseUpConv(packed_out=True) emits.
+
+    Exact rewrite: full-res output row 2i+p reads rows 2i+p-1..2i+p+1,
+    which in phase space are rows i-1..i+1 at phases given by
+    _PHASE_PACK_TAPS, so the equivalent kernel is 3x3 over 4*c_in inputs
+    emitting 4*c_out phase outputs. Every phase-kernel entry is a plain
+    copy of a full-res kernel entry (the tap map is a 0/1 bijection per
+    (p, kr)), so there is no precomputation rounding.
+
+    TPU win (b64 DAHiTra head): the classifier's (B, 256, 256, 32) input
+    never materializes — the 3x3x32->2 conv (2/128 output lanes, 32/128
+    contraction) becomes 3x3x128->8 at half resolution, and the final
+    depth-to-space moves 16x fewer bytes than the pre-classifier feature
+    map. Parameter tree ({kernel (3,3,c_in,c_out), bias}) is identical to
+    the nn.Conv it replaces (torch import unchanged).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        """t: (B, H, W, 4*c_in) packed. Returns (B, 2H, 2W, features)."""
+        c_in = t.shape[-1] // 4
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        a = jnp.asarray(_PHASE_PACK_TAPS)
+        k4 = jnp.einsum("prud,qcve,rcio->uvdeipqo", a, a,
+                        kernel.astype(jnp.float32))
+        k4 = k4.reshape(3, 3, 4 * c_in, 4 * self.features).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            t.astype(self.dtype), k4, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.tile(bias, 4).astype(self.dtype)
+        b, h, w, _ = y.shape
+        return depth_to_space2(y.reshape(b, h, w, 2, 2, self.features))
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:

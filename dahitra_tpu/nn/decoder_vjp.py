@@ -53,6 +53,74 @@ def _seg_matrix(heads: int, l: int) -> np.ndarray:
                    np.ones((l, l), np.float32))
 
 
+# Group-softmax implementation choice (round-5). The reductions in the
+# reference-faithful form are two of the priciest non-matmul ops in the
+# stack (micro_decoder.json B-study: knocking out softmax saves 0.72 of
+# 1.52 ms per b64/n2048/depth8 forward):
+#   * max: reshape (b, n, heads, l) + reduce over l puts l=4 in the minor
+#     dim — a lane relayout both ways on TPU;
+#   * sum: dot_general with the (hl, hl) segment matrix — a 32-wide fp32
+#     matmul at 1/16th MXU tile utilization.
+# Modes, A/B'd on the v5e chip by benchmarks/bench_butterfly.py:
+#   "segmatmul"  the original reshape-max + segment-matmul form;
+#   "butterfly"  both reductions via lane butterflies (roll +-s, parity
+#                select) — MEASURED NEGATIVE: jnp.roll on the lane axis
+#                lowers to slice+concat relayouts and the b64 train step
+#                regressed 808 -> 635 pairs/s. Kept for the record;
+#   "noshift"    drop the max shift entirely: e = exp(min(dots, 80)),
+#                denominator still via segment matmul. A softmax shift
+#                only cancels in exact arithmetic anyway; with the +80
+#                clamp fp32 exp cannot overflow (e^80 ~ 5.5e34 < fp32
+#                max), values match the shifted form to ~1e-6 rel for
+#                |dots| < 80, and divergent-logit states stay finite
+#                (clamped groups saturate to a hard argmax instead of
+#                producing inf/inf).
+# Chip A/B (benchmarks/artifacts/butterfly_ab.json, b64/n4096/depth8):
+# noshift fwd 1.39 vs segmatmul 2.89 ms (2.08x), fwd+bwd 3.32 vs 4.49 ms
+# (1.36x); butterfly 0.4x (regression). Default = measured winner.
+_SOFTMAX_MODE = "noshift"
+_NOSHIFT_CLAMP = 80.0
+
+
+def _group_reduce(x32: jax.Array, g: int, op) -> jax.Array:
+    """Reduce disjoint lane groups of width g (power of two) along the last
+    axis; every lane of a group ends up holding the group's reduction."""
+    lane = np.arange(x32.shape[-1])
+    s = 1
+    while s < g:
+        take_fwd = jnp.asarray((lane & s) == 0)
+        x32 = op(x32, jnp.where(take_fwd, jnp.roll(x32, -s, axis=-1),
+                                jnp.roll(x32, s, axis=-1)))
+        s *= 2
+    return x32
+
+
+def _group_softmax(dots32: jax.Array, heads: int, l: int) -> jax.Array:
+    """fp32 softmax over each head's l consecutive lanes; see
+    _SOFTMAX_MODE above for the three forms."""
+    b, n, hl = dots32.shape
+    pow2 = l >= 2 and (l & (l - 1)) == 0
+    if _SOFTMAX_MODE == "noshift":
+        # Symmetric clamp: +80 keeps fp32 exp finite; -80 keeps a group
+        # whose every logit is deeply negative from underflowing to a 0/0
+        # denominator (e^-80 ~ 1.8e-35 is still a normal fp32). A group
+        # entirely below the clamp degrades to uniform attention instead
+        # of the shifted form's internal argmax — pathological states
+        # only; tests/test_decoder_vjp.py pins finiteness there.
+        e = jnp.exp(jnp.clip(dots32, -_NOSHIFT_CLAMP, _NOSHIFT_CLAMP))
+    elif _SOFTMAX_MODE == "butterfly" and pow2:
+        e = jnp.exp(dots32 - _group_reduce(dots32, l, jnp.maximum))
+        return e / _group_reduce(e, l, jnp.add)
+    else:
+        mx = jnp.max(dots32.reshape(b, n, heads, l), axis=-1, keepdims=True)
+        e = jnp.exp(dots32 - jnp.broadcast_to(
+            mx, (b, n, heads, l)).reshape(b, n, hl))
+    sseg = jnp.asarray(_seg_matrix(heads, l))
+    denom = jax.lax.dot_general(e, sseg, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return e / denom
+
+
 def _ln_stats(x32: jax.Array) -> Tuple[jax.Array, jax.Array]:
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
@@ -109,12 +177,7 @@ def _layer_fwd(x, m, p, d, heads, dtype, collect: bool):
     z = jnp.einsum("bjhd,hdc->bhjc", vh, wo_r).reshape(b, hl, dim)
 
     dots = jnp.einsum("bnc,bcm->bnm", hn, a).astype(jnp.float32) * scale
-    mx = jnp.max(dots.reshape(b, n, heads, l), axis=-1, keepdims=True)
-    e = jnp.exp(dots - jnp.broadcast_to(mx, (b, n, heads, l)).reshape(b, n, hl))
-    sseg = jnp.asarray(_seg_matrix(heads, l))
-    denom = jax.lax.dot_general(e, sseg, (((2,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    attn = (e / denom).astype(dtype)
+    attn = _group_softmax(dots, heads, l).astype(dtype)
 
     x1 = x + attn @ z + p["bo"][d].astype(dtype)
 
@@ -168,12 +231,7 @@ def _layer_bwd(dy, dm_acc, res, m, p, d, heads, dtype):
     hn = _ln_apply(x32, mu_x, rs_x, s1, b1_).astype(dtype)
     a, z = res["a"], res["z"]
     dots = jnp.einsum("bnc,bcm->bnm", hn, a).astype(jnp.float32) * scale
-    mx = jnp.max(dots.reshape(b, n, heads, l), axis=-1, keepdims=True)
-    e = jnp.exp(dots - jnp.broadcast_to(mx, (b, n, heads, l)).reshape(b, n, hl))
-    sseg = jnp.asarray(_seg_matrix(heads, l))
-    denom = jax.lax.dot_general(e, sseg, (((2,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    attn = (e / denom).astype(dtype)
+    attn = _group_softmax(dots, heads, l).astype(dtype)
     x1 = x + attn @ z + p["bo"][d].astype(dtype)
 
     # ---- FF backward ----
@@ -207,6 +265,7 @@ def _layer_bwd(dy, dm_acc, res, m, p, d, heads, dtype):
     # upcasting reproduces the fp32 softmax gradient to dtype rounding)
     a32 = attn.astype(jnp.float32)
     da32 = dattn.astype(jnp.float32)
+    sseg = jnp.asarray(_seg_matrix(heads, l))
     srow = jax.lax.dot_general(a32 * da32, sseg, (((2,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     dl = (a32 * (da32 - srow)) * scale

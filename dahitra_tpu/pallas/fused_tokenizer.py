@@ -40,14 +40,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _tokenizer_kernel(x_ref, w_ref, out_ref, *, precise: bool):
+    # Logits live TRANSPOSED, (L, N): with N in the lane dim the fp32
+    # softmax intermediates cost L_pad*N*4 bytes (a (N, L=4) layout pads
+    # L to 128 lanes — 32x the VMEM, and the xBD 65536-pixel shape blew
+    # the 16M scoped-vmem limit that way). The (L, N) orientation needs no
+    # transpose: contract w's C against x's C directly.
     op_dtype = jnp.float32 if precise else jnp.bfloat16
     x = x_ref[0]                                   # (N, C)
-    logits = jnp.dot(x.astype(op_dtype), w_ref[...].astype(op_dtype),
-                     preferred_element_type=jnp.float32)   # (N, L)
-    mx = jnp.max(logits, axis=0, keepdims=True)    # per-token column max
-    e = jnp.exp(logits - mx)
-    attn = e / jnp.sum(e, axis=0, keepdims=True)   # softmax over pixels
-    tokens = jnp.dot(attn.T.astype(op_dtype), x.astype(op_dtype),
+    logits_t = jax.lax.dot_general(
+        w_ref[...].astype(op_dtype), x.astype(op_dtype),
+        (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (L, N)
+    mx = jnp.max(logits_t, axis=1, keepdims=True)  # per-token max over pixels
+    e = jnp.exp(logits_t - mx)
+    attn = (e / jnp.sum(e, axis=1, keepdims=True)).astype(op_dtype)
+    tokens = jnp.dot(attn, x.astype(op_dtype),
                      preferred_element_type=jnp.float32)   # (L, C)
     out_ref[0] = tokens.astype(out_ref.dtype)
 

@@ -27,7 +27,9 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compilation cache: the suite is dominated by CPU compiles
 # of the model zoo (the test host has one core); caching them makes repeat
 # runs minutes instead of tens of minutes. Safe to delete at any time.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+_CACHE_DIR = os.environ.get(
+    "DAHITRA_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
