@@ -136,36 +136,53 @@ def main():
 
     segs, costs = {}, {}
 
+    # All large arrays are threaded through as jit ARGUMENTS (device
+    # buffers), never closure constants: a closed-over array is baked into
+    # the HLO as a literal, and at b128 the head segment's skip tensor alone
+    # is 512 MB — the serialized program then exceeds the remote-compile
+    # tunnel's request-body limit (HTTP 413).
+
     # Full eval body — bench.py bench_eval's scan body verbatim.
-    def eval_body(i, variables):
-        a, b, label = augment_pairs(a_u8, b_u8, l_u8,
+    # NOTE: in eval mode augment_pairs ignores the PRNG key, so fold_in(.., i)
+    # alone leaves the body loop-invariant and XLA hoists it out of the scan
+    # (observed: differenced time ~0 -> NaN). Perturb the uint8 input by the
+    # index so every iteration is live.
+    # (The perturbation must route through a FLOAT multiply: an integer
+    # i*0 constant-folds to 0 and the hoist happens anyway; bf16 i*0 is
+    # not foldable because XLA cannot rule out inf/NaN in i.)
+    def eval_body(i, variables, a_u8, b_u8, l_u8):
+        a_i = a_u8 + (i.astype(jnp.bfloat16) * 0).astype(jnp.uint8)
+        a, b, label = augment_pairs(a_i, b_u8, l_u8,
                                     jax.random.fold_in(
                                         jax.random.PRNGKey(0), i),
                                     train=False, dtype=jnp.bfloat16)
         logits = model.apply(variables, a, b, False)
         return batch_confusion_matrix(jnp.argmax(logits, -1), label, 2)
-    segs["eval_body"] = _scan_timer(eval_body, variables)
+    segs["eval_body"] = _scan_timer(eval_body, variables, a_u8, b_u8, l_u8)
     costs["eval_body"] = _cost(
-        lambda v: eval_body(jnp.int32(0), v), variables)
+        lambda v, a, b, l: eval_body(jnp.int32(0), v, a, b, l),
+        variables, a_u8, b_u8, l_u8)
 
     # Forward alone (inputs perturbed per iteration).
     a_bf = (a_u8.astype(jnp.bfloat16) / 255.0 - 0.5) / 0.5
     b_bf = (b_u8.astype(jnp.bfloat16) / 255.0 - 0.5) / 0.5
 
-    def fwd(i, variables):
+    def fwd(i, variables, a_bf, b_bf):
         return model.apply(variables, a_bf + i.astype(jnp.bfloat16) * 0,
                            b_bf, False)
-    segs["fwd"] = _scan_timer(fwd, variables)
-    costs["fwd"] = _cost(lambda v: fwd(jnp.int32(0), v), variables)
+    segs["fwd"] = _scan_timer(fwd, variables, a_bf, b_bf)
+    costs["fwd"] = _cost(lambda v, a, b: fwd(jnp.int32(0), v, a, b),
+                         variables, a_bf, b_bf)
 
     # Trunk (eval path: one batch-stacked [A;B] pass, running stats).
-    def trunk(i, variables):
+    def trunk(i, variables, a_bf, b_bf):
         return model.apply(
             variables,
             jnp.concatenate([a_bf + i.astype(jnp.bfloat16) * 0, b_bf], 0),
             False, False, method=DAHiTraUNet.forward_single)
-    segs["trunk"] = _scan_timer(trunk, variables)
-    costs["trunk"] = _cost(lambda v: trunk(jnp.int32(0), v), variables)
+    segs["trunk"] = _scan_timer(trunk, variables, a_bf, b_bf)
+    costs["trunk"] = _cost(lambda v, a, b: trunk(jnp.int32(0), v, a, b),
+                           variables, a_bf, b_bf)
 
     # Each transformer-difference module at its in-model shape.
     shapes = {
@@ -177,13 +194,14 @@ def main():
         x1 = jnp.asarray(rng.standard_normal(shp), jnp.bfloat16)
         x2 = jnp.asarray(rng.standard_normal(shp), jnp.bfloat16)
 
-        def mod(i, variables, x1=x1, x2=x2, _name=name):
+        def mod(i, variables, x1, x2, _name=name):
             return model.apply(
                 variables, x1 + i.astype(jnp.bfloat16) * 0, x2,
                 method=lambda m, u, v: getattr(m, _name)(u, v))
-        segs[name] = _scan_timer(mod, variables)
+        segs[name] = _scan_timer(mod, variables, x1, x2)
         costs[name] = _cost(
-            lambda v, _m=mod: _m(jnp.int32(0), v), variables)
+            lambda v, u, w, _m=mod: _m(jnp.int32(0), v, u, w),
+            variables, x1, x2)
 
     # Top-down head on pre-made trans outputs.
     out5 = jnp.asarray(rng.standard_normal(
@@ -195,7 +213,7 @@ def main():
     ab2 = jnp.asarray(rng.standard_normal(
         (batch, img // 2, img // 2, 128)), jnp.bfloat16)
 
-    def head(i, variables):
+    def head(i, variables, out5, t4, t3, ab2):
         from dahitra_tpu.nn.blocks import upsample_nearest as up
 
         def run(m, o5, t4, t3, ab2):
@@ -207,26 +225,32 @@ def main():
             return m.classifier(o2)
         return model.apply(variables, out5 + i.astype(jnp.bfloat16) * 0,
                            t4, t3, ab2, method=run)
-    segs["head"] = _scan_timer(head, variables)
-    costs["head"] = _cost(lambda v: head(jnp.int32(0), v), variables)
+    segs["head"] = _scan_timer(head, variables, out5, t4, t3, ab2)
+    costs["head"] = _cost(
+        lambda v, o5, u4, u3, s2: head(jnp.int32(0), v, o5, u4, u3, s2),
+        variables, out5, t4, t3, ab2)
 
     # Aug (eval normalize) and argmax+CM.
-    def aug(i, _v):
-        return augment_pairs(a_u8, b_u8, l_u8,
+    def aug(i, _v, a_u8, b_u8, l_u8):
+        # Same loop-invariance hazard as eval_body: perturb the input by i.
+        return augment_pairs(
+            a_u8 + (i.astype(jnp.bfloat16) * 0).astype(jnp.uint8), b_u8, l_u8,
                              jax.random.fold_in(jax.random.PRNGKey(0), i),
                              train=False, dtype=jnp.bfloat16)
-    segs["aug"] = _scan_timer(aug, variables)
-    costs["aug"] = _cost(lambda v: aug(jnp.int32(0), v), variables)
+    segs["aug"] = _scan_timer(aug, variables, a_u8, b_u8, l_u8)
+    costs["aug"] = _cost(lambda v, a, b, l: aug(jnp.int32(0), v, a, b, l),
+                         variables, a_u8, b_u8, l_u8)
 
     logits0 = jnp.asarray(rng.standard_normal((batch, img, img, 2)),
                           jnp.bfloat16)
 
-    def cm(i, _v):
+    def cm(i, _v, logits0, l_u8):
         return batch_confusion_matrix(
             jnp.argmax(logits0 + i.astype(jnp.bfloat16) * 0, -1),
             l_u8.astype(jnp.int32), 2)
-    segs["cm"] = _scan_timer(cm, variables)
-    costs["cm"] = _cost(lambda v: cm(jnp.int32(0), v), variables)
+    segs["cm"] = _scan_timer(cm, variables, logits0, l_u8)
+    costs["cm"] = _cost(lambda v, lg, l: cm(jnp.int32(0), v, lg, l),
+                        variables, logits0, l_u8)
 
     def _bound(fl, io, t):
         compute_floor = fl / (CHIP_BF16_TFLOPS * 1e12)

@@ -50,22 +50,34 @@ def _separable_blur(img: jax.Array, sigma: jax.Array) -> jax.Array:
     Seven static shifted slices per axis, weighted and summed — XLA fuses
     the whole thing into one elementwise chain. Replicate-pad approximates
     PIL's edge handling.
+
+    Each axis pass accumulates in fp32 (the kernel weights are fp32, so
+    promotion does this for free) but STORES in the image dtype: under the
+    bf16 training path the materialized inter-pass buffer is then half the
+    bytes. bf16 storage loses ~2^-9 relative — less than the reference's
+    own blur quantization (PIL GaussianBlur rounds to uint8 between passes,
+    datasets/data_utils.py:99-102).
     """
     k = _gaussian_kernel(sigma)
     half = _BLUR_TAPS // 2
     h, w = img.shape[0], img.shape[1]
     x = jnp.pad(img, ((half, half), (0, 0), (0, 0)), mode="edge")
-    acc = jnp.zeros_like(img)
+    acc = jnp.zeros(img.shape, jnp.float32)
     for i in range(_BLUR_TAPS):
         acc = acc + k[i] * x[i:i + h]
-    x = jnp.pad(acc, ((0, 0), (half, half), (0, 0)), mode="edge")
-    acc = jnp.zeros_like(img)
+    x = jnp.pad(acc.astype(img.dtype), ((0, 0), (half, half), (0, 0)),
+                mode="edge")
+    acc = jnp.zeros(img.shape, jnp.float32)
     for i in range(_BLUR_TAPS):
         acc = acc + k[i] * x[:, i:i + w]
-    return acc
+    return acc.astype(img.dtype)
 
 
-def _augment_one(a, b, label, key, hflip, vflip, blur, rot):
+def _augment_one(a, b, label, key, hflip, vflip, blur, rot, dtype):
+    """Flips/rot run on the raw uint8 arrays (exact, 4x fewer bytes than
+    fp32); the cast to the compute dtype happens only at the blur/normalize
+    stage. Train-step cost of this stage measured 4.16 -> ~1 ms at b64
+    (train_roofline.json 'aug')."""
     ka, kb, kc, kd = jax.random.split(key, 4)
     if hflip:
         do = jax.random.bernoulli(ka)
@@ -84,6 +96,8 @@ def _augment_one(a, b, label, key, hflip, vflip, blur, rot):
         a = jnp.where(do, rot_all(a), a)
         b = jnp.where(do, rot_all(b), b)
         label = jnp.where(do, rot_all(label[..., None])[..., 0], label)
+    a = a.astype(dtype) / jnp.asarray(255.0, dtype)
+    b = b.astype(dtype) / jnp.asarray(255.0, dtype)
     if blur:
         sigma = jax.random.uniform(kd)  # PIL radius ~ U[0,1)
         a = _separable_blur(a, sigma)
@@ -99,15 +113,17 @@ def augment_pairs(a_u8: jax.Array, b_u8: jax.Array, label_u8: jax.Array,
                   dtype=jnp.float32):
     """Batch augmentation: (B,H,W,3) uint8 pairs + (B,H,W) labels ->
     normalized float images + int32 labels."""
-    a = a_u8.astype(jnp.float32) / 255.0
-    b = b_u8.astype(jnp.float32) / 255.0
-    label = label_u8.astype(jnp.int32)
     if train:
-        keys = jax.random.split(key, a.shape[0])
-        a, b, label = jax.vmap(
+        keys = jax.random.split(key, a_u8.shape[0])
+        a, b, label_u8 = jax.vmap(
             lambda aa, bb, ll, kk: _augment_one(aa, bb, ll, kk, hflip, vflip,
-                                                blur, rot)
-        )(a, b, label, keys)
-    a = ((a - 0.5) / 0.5).astype(dtype)
-    b = ((b - 0.5) / 0.5).astype(dtype)
+                                                blur, rot, dtype)
+        )(a_u8, b_u8, label_u8, keys)
+    else:
+        a = a_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+        b = b_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+    label = label_u8.astype(jnp.int32)
+    half = jnp.asarray(0.5, dtype)
+    a = (a - half) / half
+    b = (b - half) / half
     return a, b, label

@@ -118,13 +118,22 @@ class TransDiffModule(nn.Module):
         seq = self.decoder(x.reshape(b, h * w, c), tokens)
         return seq.reshape(b, h, w, c)
 
-    def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
+    def __call__(self, x1: jax.Array, x2: jax.Array = None) -> jax.Array:
         # TPU shaping: both dates run the (BN-free) squeeze/tokenizer/decoder
         # as ONE batch-stacked pass — numerically identical to per-date
         # calls, but the tiny dim-32 matmuls see 2x the batch on the MXU and
-        # XLA fuses one pipeline instead of two.
-        b = x1.shape[0]
-        x12 = nn.relu(self.conv_squeeze(jnp.concatenate([x1, x2], axis=0)))
+        # XLA fuses one pipeline instead of two. When the caller already has
+        # the [date1; date2] batch-stacked tensor (DAHiTraUNet's pair-BN
+        # train / eval trunk), it passes it as x1 with x2=None — the
+        # split + re-concat round-trip was ~1.5 ms of the b64 train step
+        # (profile_ops.json 'split').
+        if x2 is None:
+            b = x1.shape[0] // 2
+            x12s = x1
+        else:
+            b = x1.shape[0]
+            x12s = jnp.concatenate([x1, x2], axis=0)
+        x12 = nn.relu(self.conv_squeeze(x12s))
         t12 = self.tokenizer(x12)
         t1, t2 = t12[:b], t12[b:]
         tokens = jnp.concatenate([t1, t2], axis=1)
@@ -177,11 +186,26 @@ class DAHiTraUNet(nn.Module):
     # phase-packed output — exact rewrite (see nn/blocks.PhasePackedConv).
     # False restores the materialized (2H, 2W, 32) head for A/Bs.
     fused_head: bool = True
+    # True: the [date1; date2] batch-stacked trunk outputs flow STACKED
+    # into the trans modules and the batch-grouped conv_layer2_0 (no
+    # per-date split + re-concat); False (default) is the round-4 split
+    # form. Both are exact to fp32 reassociation. MEASURED NEGATIVE
+    # (benchmarks/ab_stacked.py, artifacts/stacked_ab.json): train b64
+    # is bit-for-bit neutral (66.6 ms/step all variants — the 3.3 ms of
+    # split/concat ops the rewrite removes was fully overlapped), and
+    # eval b128 is 8-10% SLOWER stacked: the 2x-batch trans modules land
+    # the decoder in the known-bad b256 XLA scheduling regime
+    # (docs/ARCHITECTURE.md item 12).
+    stacked_heads: bool = False
+    # A/B knob for the space-to-depth stem rewrite (nn/resnet._stem_conv).
+    # Same verdict (stacked_ab.json): train-neutral, eval -2.5%.
+    s2d_stem: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.trunk = ResNetTrunk(backbone=self.backbone,
                                  replace_stride_with_dilation=(False, True, True),
+                                 s2d_stem=self.s2d_stem,
                                  dtype=self.dtype, name="resnet")
         s = self.img_size
         # (enc_heads, dec_depth, dec_heads, pos_size) per coarse scale;
@@ -252,41 +276,47 @@ class DAHiTraUNet(nn.Module):
             # xBD 6-channel convention: x1 = cat(pre, post) on channels.
             x1, x2 = x1[..., :3], x1[..., 3:]
         pair_ok = _PAIR_BN_DEFAULT if self.pair_bn is None else self.pair_bn
-        if train and pair_ok:
-            # BN batch statistics are per-date in the reference (each
-            # forward_single is a separate BN pass). PairBatchNorm computes
-            # the SAME per-date statistics (and the same sequential
-            # running-stat update) from one [date1; date2] batch-stacked
-            # pass, so the convs run once at 2x batch — half the kernel
-            # launches of the two-pass form (tests/test_pair_bn.py pins
-            # equality with the two-pass path).
-            f = self.forward_single(jnp.concatenate([x1, x2], axis=0),
-                                    train, pair=True)
-            (a2, b2), (a4, b4), (a8, b8), (a16, b16) = (
-                jnp.split(t, 2, axis=0) for t in f)
-        elif train:
+        if not train or pair_ok:
+            # One [date1; date2] batch-stacked trunk pass. Eval BN uses
+            # running stats (per-sample), so stacking is numerically
+            # identical; in train mode PairBatchNorm computes the SAME
+            # per-date statistics (and the same sequential running-stat
+            # update) the reference's twin forward_single calls produce
+            # (tests/test_pair_bn.py pins equality with the two-pass path).
+            # The stacked tensors flow STACKED into the trans modules and
+            # the pair head — no per-date split + re-concat round-trips
+            # (profile_ops.json: ~3 ms of the b64 train step).
+            f2, f4, f8, f16 = self.forward_single(
+                jnp.concatenate([x1, x2], axis=0), train, pair=train)
+
+            if self.stacked_heads:
+                out5 = upsample_nearest(self.trans_5(f16), 2)
+                out4 = self.conv_layer4(self.trans_4(f8) + out5)
+                out3 = self.conv_layer3(self.trans_3(f4) + out4)
+                out2 = self.conv_layer2_0(f2, train, pair_stacked=True)
+            else:
+                (a2, b2), (a4, b4), (a8, b8), (a16, b16) = (
+                    jnp.split(t, 2, axis=0) for t in (f2, f4, f8, f16))
+                out5 = upsample_nearest(self.trans_5(a16, b16), 2)
+                out4 = self.conv_layer4(self.trans_4(a8, b8) + out5)
+                out3 = self.conv_layer3(self.trans_3(a4, b4) + out4)
+                out2 = self.conv_layer2_0(
+                    jnp.concatenate([a2, b2], axis=-1), train)
+        else:
             a2, a4, a8, a16 = self.forward_single(x1, train)
             b2, b4, b8, b16 = self.forward_single(x2, train)
-        else:
-            # Eval BN uses running stats (per-sample): one batch-stacked
-            # trunk pass is numerically identical and halves kernel count.
-            f = self.forward_single(jnp.concatenate([x1, x2], axis=0), train)
-            (a2, b2), (a4, b4), (a8, b8), (a16, b16) = (
-                jnp.split(t, 2, axis=0) for t in f)
 
-        # Level 5 (1/16): 256ch -> 32ch (networks.py:1326-1329).
-        out5 = self.trans_5(a16, b16)
-        out5 = upsample_nearest(out5, 2)
-
-        # Level 4 (1/8): 128ch (networks.py:1331-1336). conv_layer4/3/2 are
-        # PhaseUpConv = relu(conv3x3(upsample2x(.))) in one fused op.
-        out4 = self.conv_layer4(self.trans_4(a8, b8) + out5)
-
-        # Level 3 (1/4): 64ch (networks.py:1338-1344).
-        out3 = self.conv_layer3(self.trans_3(a4, b4) + out4)
-
-        # Level 2 (1/2): conv-only fusion of both dates (networks.py:1346-1351).
-        out2 = self.conv_layer2_0(jnp.concatenate([a2, b2], axis=-1), train)
+            # Level 5 (1/16): 256ch -> 32ch (networks.py:1326-1329).
+            out5 = upsample_nearest(self.trans_5(a16, b16), 2)
+            # Level 4 (1/8): 128ch (networks.py:1331-1336). conv_layer4/3/2
+            # are PhaseUpConv = relu(conv3x3(upsample2x(.))) in one fused op.
+            out4 = self.conv_layer4(self.trans_4(a8, b8) + out5)
+            # Level 3 (1/4): 64ch (networks.py:1338-1344).
+            out3 = self.conv_layer3(self.trans_3(a4, b4) + out4)
+            # Level 2 (1/2): conv-only fusion of both dates
+            # (networks.py:1346-1351).
+            out2 = self.conv_layer2_0(jnp.concatenate([a2, b2], axis=-1),
+                                      train)
         out2 = self.conv_layer2(out2 + out3)
 
         return self.classifier(out2)

@@ -17,7 +17,7 @@ Behavioral parity notes (reference /root/reference/models/help_funcs.py):
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -231,30 +231,78 @@ def max_pool_2x2(x: jax.Array) -> jax.Array:
     return jnp.max(t, axis=(2, 4))
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's exact {kernel[, bias]} tree and
+    initializers, for call paths that need to reinterpret the kernel
+    (TwoLayerConv's batch-grouped pair form) while keeping checkpoints and
+    torch import byte-identical."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = (self.param("bias", nn.initializers.zeros_init(),
+                        (self.shape[-1],)) if self.use_bias else None)
+        return k, b
+
+
 class TwoLayerConv(nn.Module):
-    """conv3x3(bias=False)-BN-ReLU-conv3x3 head (help_funcs.py:7-15)."""
+    """conv3x3(bias=False)-BN-ReLU-conv3x3 head (help_funcs.py:7-15).
+
+    ``pair_stacked=True`` call form: the input is the [date1; date2]
+    BATCH-stacked (2B, H, W, C) tensor and the module computes exactly
+    ``TwoLayerConv(cat(date1, date2, channels))`` without materializing the
+    channel concat: conv1 over cat channels is linear, so
+    ``conv(cat(a, b), W) = conv(a, W[:, :, :C]) + conv(b, W[:, :, C:])``,
+    and one batch-grouped conv evaluates both partial convs from the
+    stacked layout (profile_ops.json: the (2B, 128, 128, 64) split + the
+    (B, 128, 128, 128) concat this removes were ~2 ms of the b64 train
+    step). The partial sums are re-added in fp32 — the only numeric
+    difference is contraction reassociation (~1e-6 rel fp32).
+    """
 
     out_channels: int
     kernel_size: int = 3
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 pair_stacked: bool = False) -> jax.Array:
         from dahitra_tpu.nn.resnet import PairBatchNorm, _bn_out_dtype
 
         k = self.kernel_size
-        c_in = x.shape[-1]
-        x = nn.Conv(c_in, (k, k), padding=k // 2, use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        pad = ((k // 2, k // 2), (k // 2, k // 2))
+        dn = ("NHWC", "HWIO", "NHWC")
+        c_cat = 2 * x.shape[-1] if pair_stacked else x.shape[-1]
+        k1, _ = _ConvParams((k, k, c_cat, c_cat), use_bias=False,
+                            name="conv1")()
+        if pair_stacked:
+            c = x.shape[-1]
+            kg = jnp.concatenate([k1[:, :, :c, :], k1[:, :, c:, :]],
+                                 axis=-1).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kg, (1, 1), pad,
+                dimension_numbers=dn, batch_group_count=2)
+            x = (y[..., :c_cat].astype(jnp.float32)
+                 + y[..., c_cat:].astype(jnp.float32))
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k1.astype(self.dtype), (1, 1), pad,
+                dimension_numbers=dn)
         # PairBatchNorm(pair=False) == nn.BatchNorm (fp32 stats), with the
         # output in the conv compute dtype — conv2 casts anyway, so bf16
         # mode just stops carrying an fp32 intermediate.
         x = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn")(
             x, not train)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (k, k), padding=k // 2, dtype=self.dtype,
-                    name="conv2")(x)
-        return x
+        k2, b2 = _ConvParams((k, k, c_cat, self.out_channels),
+                             name="conv2")()
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k2.astype(self.dtype), (1, 1), pad,
+            dimension_numbers=dn)
+        return x + b2.astype(self.dtype)
 
 
 class ConvRelu(nn.Module):

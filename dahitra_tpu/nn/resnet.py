@@ -22,9 +22,24 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dahitra_tpu.nn.blocks import max_pool_3x3_s2
+from dahitra_tpu.nn.blocks import _ConvParams, max_pool_3x3_s2
 
 Dtype = Any
+
+# Space-to-depth stem tap map: T[u, di, kr] = 1 iff full-res kernel row kr
+# of the 7x7/s2/p3 stem conv lands on packed-kernel row u with input phase
+# di. Output row i reads full rows 2i-3..2i+3 = 2(i-2+u)+di for u in 0..3,
+# so kr = 2u+di-1 (kr=-1 at u=0,di=0 and kr=7 at u=3,di=1 are zero taps).
+# numpy constant so it never captures a trace.
+import numpy as _np  # noqa: E402
+
+_STEM_TAPS = _np.zeros((4, 2, 7), _np.float32)
+for _u in range(4):
+    for _di in range(2):
+        _kr = 2 * _u + _di - 1
+        if 0 <= _kr < 7:
+            _STEM_TAPS[_u, _di, _kr] = 1.0
+del _u, _di, _kr
 
 
 class PairBatchNorm(nn.Module):
@@ -199,13 +214,21 @@ class ResNetTrunk(nn.Module):
     backbone: str = "resnet18"
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, True, True)
     in_channels: int = 3
+    # True enables the space-to-depth stem rewrite (A/B knob; see
+    # _stem_conv). Parameter tree is identical either way. Default False:
+    # measured train-neutral / eval-negative in the full model
+    # (benchmarks/artifacts/stacked_ab.json).
+    s2d_stem: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         block, sizes = _CONFIGS[self.backbone]
         rswd = self.replace_stride_with_dilation
-        self.conv1 = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                             dtype=self.dtype, name="conv1")
+        # Param holder with nn.Conv's exact {kernel} tree; the kernel is
+        # applied either as the plain 7x7/s2 conv or as its space-to-depth
+        # rewrite (see _stem_conv).
+        self.conv1 = _ConvParams((7, 7, self.in_channels, 64),
+                                 use_bias=False, name="conv1")
         self.bn1 = PairBatchNorm(dtype=_bn_out_dtype(self.dtype), name="bn1")
         self.layer1 = ResNetLayer(64, sizes[0], 1, block, self.dtype, name="layer1")
         self.layer2 = ResNetLayer(128, sizes[1], 1 if rswd[0] else 2, block,
@@ -215,11 +238,38 @@ class ResNetTrunk(nn.Module):
         self.layer4 = ResNetLayer(512, sizes[3], 1 if rswd[2] else 2, block,
                                   self.dtype, name="layer4")
 
+    def _stem_conv(self, x: jax.Array) -> jax.Array:
+        """The 7x7/s2/p3 stem conv, space-to-depth rewritten when the input
+        dims are even: pack (H, W, C) -> (H/2, W/2, 4C) and convolve with
+        the exactly-equivalent 4x4 packed kernel (entries are copies of the
+        7x7 kernel per _STEM_TAPS, asymmetric pad (2,1)). TPU win: the
+        3-channel full-res conv (3/128 contraction sublanes, and its wgrad
+        is the slowest conv in the b64 profile) becomes a 12-channel
+        half-res conv. Exact to reassociation (the packed kernel's zero
+        taps add exact zeros)."""
+        k, _ = self.conv1()
+        h, w = x.shape[1], x.shape[2]
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not self.s2d_stem or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), (2, 2),
+                ((3, 3), (3, 3)), dimension_numbers=dn)
+        b, c = x.shape[0], x.shape[-1]
+        t = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        t = t.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        taps = jnp.asarray(_STEM_TAPS)
+        k4 = jnp.einsum("udr,vet,rtio->uvdeio", taps, taps,
+                        k.astype(jnp.float32))
+        k4 = k4.reshape(4, 4, 4 * c, 64).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            t.astype(self.dtype), k4, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=dn)
+
     def stem_preact(self, x: jax.Array, train: bool = False,
                     pair: bool = False) -> jax.Array:
         """conv1 -> bn1, WITHOUT the ReLU (the DAHiTra trunk taps this —
         networks.py:1120-1123 maxpools the pre-ReLU bn1 output)."""
-        return self.bn1(self.conv1(x), not train, pair)
+        return self.bn1(self._stem_conv(x), not train, pair)
 
     def stem(self, x: jax.Array, train: bool = False,
              pair: bool = False) -> jax.Array:

@@ -281,3 +281,25 @@ def test_cross_attention_divergent_head_logits_finite():
     want = (ctx @ np.asarray(params["params"]["to_out"]["kernel"])
             + np.asarray(params["params"]["to_out"]["bias"]))
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
+
+
+def test_stem_s2d_matches_plain_conv7x7():
+    """ResNetTrunk's space-to-depth stem rewrite == the plain 7x7/s2/p3
+    conv (resnet.py conv1), to fp32 reassociation. Odd input dims take the
+    plain path (same module, so only shape coverage matters there)."""
+    from dahitra_tpu.nn.resnet import ResNetTrunk, _STEM_TAPS
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    trunk = ResNetTrunk(backbone="resnet18", s2d_stem=True)
+    v = trunk.init(jax.random.PRNGKey(0), x, False,
+                   method=lambda m, a, t: m.stem_preact(a, t))
+    k = jnp.asarray(v["params"]["conv1"]["kernel"])
+    got = trunk.apply(v, x, method=ResNetTrunk._stem_conv)
+    want = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # every 7x7 tap is mapped exactly once
+    assert _STEM_TAPS.sum() == 7.0 and (_STEM_TAPS.sum(axis=(0, 1)) == 1).all()

@@ -129,3 +129,24 @@ def test_dahitra_train_mode_updates_batch_stats():
     before = variables["batch_stats"]["resnet"]["bn1"]["mean"]
     after = mutated["batch_stats"]["resnet"]["bn1"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_dahitra_stacked_heads_and_s2d_match_split_form():
+    """The stacked-heads + s2d-stem rewrites (A/B knobs, default off —
+    measured eval-negative, benchmarks/artifacts/stacked_ab.json) stay
+    EXACT vs the split form in both train and eval mode: same params,
+    same outputs to fp32 reassociation."""
+    base = DAHiTraUNet(output_nc=2, img_size=32)
+    fast = base.clone(stacked_heads=True, s2d_stem=True)
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (2, 32, 32, 3))
+    b = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    variables = base.init(key, a, b)
+    for train in (False, True):
+        kw = dict(mutable=["batch_stats"]) if train else {}
+        got = fast.apply(variables, a, b, train, **kw)
+        want = base.apply(variables, a, b, train, **kw)
+        if train:
+            got, want = got[0], want[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
